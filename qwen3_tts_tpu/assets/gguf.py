@@ -1,0 +1,169 @@
+"""Minimal GGUF reader (numpy, host-side).
+
+Reads the `qwen3_assets.gguf` asset container the reference consumes with its
+own hand-rolled reader (`src/assets_manager.rs:28-266`): GGUF v2/v3 header,
+metadata KVs (parsed, not just skipped — arrays included), tensor infos, then
+32-byte-aligned tensor data. Tensors are returned as numpy arrays; F32 and F16
+are supported (the asset file ships F32).
+
+This is a fresh implementation of the public GGUF spec, not a translation of
+the reference reader.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Any, BinaryIO, Dict, List, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = b"GGUF"
+ALIGNMENT_KEY = "general.alignment"
+DEFAULT_ALIGNMENT = 32
+
+# GGUF metadata value types
+_U8, _I8, _U16, _I16, _U32, _I32, _F32, _BOOL, _STR, _ARR, _U64, _I64, _F64 = range(13)
+
+_SCALAR_FMT = {
+    _U8: "<B", _I8: "<b", _U16: "<H", _I16: "<h", _U32: "<I", _I32: "<i",
+    _F32: "<f", _BOOL: "<?", _U64: "<Q", _I64: "<q", _F64: "<d",
+}
+
+# GGML tensor dtypes we can materialise
+_GGML_F32 = 0
+_GGML_F16 = 1
+_GGML_DTYPES = {_GGML_F32: np.float32, _GGML_F16: np.float16}
+
+
+def _read_str(f: BinaryIO) -> str:
+    (n,) = struct.unpack("<Q", f.read(8))
+    return f.read(n).decode("utf-8")
+
+
+def _read_value(f: BinaryIO, vtype: int) -> Any:
+    if vtype in _SCALAR_FMT:
+        fmt = _SCALAR_FMT[vtype]
+        (v,) = struct.unpack(fmt, f.read(struct.calcsize(fmt)))
+        return v
+    if vtype == _STR:
+        return _read_str(f)
+    if vtype == _ARR:
+        (elem_type,) = struct.unpack("<I", f.read(4))
+        (count,) = struct.unpack("<Q", f.read(8))
+        return [_read_value(f, elem_type) for _ in range(count)]
+    raise ValueError(f"unknown GGUF metadata value type {vtype}")
+
+
+@dataclass
+class TensorInfo:
+    name: str
+    shape: Tuple[int, ...]   # logical (row-major numpy) shape
+    ggml_type: int
+    offset: int              # relative to data section start
+
+
+class GGUFFile:
+    """Parsed GGUF container; tensor data is read lazily per tensor."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.metadata: Dict[str, Any] = {}
+        self.tensors: Dict[str, TensorInfo] = {}
+        with open(path, "rb") as f:
+            if f.read(4) != GGUF_MAGIC:
+                raise ValueError(f"{path}: not a GGUF file")
+            (version,) = struct.unpack("<I", f.read(4))
+            if version < 2:
+                raise ValueError(f"{path}: unsupported GGUF version {version}")
+            (n_tensors,) = struct.unpack("<Q", f.read(8))
+            (n_kv,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n_kv):
+                key = _read_str(f)
+                (vtype,) = struct.unpack("<I", f.read(4))
+                self.metadata[key] = _read_value(f, vtype)
+            infos: List[TensorInfo] = []
+            for _ in range(n_tensors):
+                name = _read_str(f)
+                (n_dims,) = struct.unpack("<I", f.read(4))
+                dims = struct.unpack(f"<{n_dims}Q", f.read(8 * n_dims))
+                (ggml_type,) = struct.unpack("<I", f.read(4))
+                (offset,) = struct.unpack("<Q", f.read(8))
+                # GGUF stores dims innermost-first; numpy wants outermost-first.
+                infos.append(TensorInfo(name, tuple(reversed(dims)), ggml_type, offset))
+            align = int(self.metadata.get(ALIGNMENT_KEY, DEFAULT_ALIGNMENT))
+            pos = f.tell()
+            self.data_start = pos + (-pos) % align
+            self.tensors = {t.name: t for t in infos}
+
+    def read_tensor(self, name: str) -> np.ndarray:
+        info = self.tensors[name]
+        if info.ggml_type not in _GGML_DTYPES:
+            raise ValueError(
+                f"tensor {name!r}: unsupported ggml type {info.ggml_type} "
+                "(only F32/F16 assets are supported)"
+            )
+        dtype = _GGML_DTYPES[info.ggml_type]
+        count = int(np.prod(info.shape)) if info.shape else 1
+        with open(self.path, "rb") as f:
+            f.seek(self.data_start + info.offset)
+            data = np.fromfile(f, dtype=dtype, count=count)
+        if data.size != count:
+            raise ValueError(f"tensor {name!r}: truncated data")
+        return data.reshape(info.shape)
+
+
+def write_gguf(path: str, tensors: Dict[str, np.ndarray],
+               metadata: Dict[str, Any] | None = None) -> None:
+    """Write an F32 GGUF container (used by tests and asset conversion)."""
+    metadata = dict(metadata or {})
+    with open(path, "wb") as f:
+        f.write(GGUF_MAGIC)
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<Q", len(tensors)))
+        f.write(struct.pack("<Q", len(metadata)))
+
+        def w_str(s: str):
+            b = s.encode("utf-8")
+            f.write(struct.pack("<Q", len(b)))
+            f.write(b)
+
+        for key, val in metadata.items():
+            w_str(key)
+            if isinstance(val, bool):
+                f.write(struct.pack("<I", _BOOL) + struct.pack("<?", val))
+            elif isinstance(val, int):
+                f.write(struct.pack("<I", _I64) + struct.pack("<q", val))
+            elif isinstance(val, float):
+                f.write(struct.pack("<I", _F64) + struct.pack("<d", val))
+            elif isinstance(val, str):
+                f.write(struct.pack("<I", _STR))
+                w_str(val)
+            elif isinstance(val, (list, tuple)) and all(isinstance(x, int) for x in val):
+                f.write(struct.pack("<I", _ARR))
+                f.write(struct.pack("<I", _I64))
+                f.write(struct.pack("<Q", len(val)))
+                for x in val:
+                    f.write(struct.pack("<q", x))
+            else:
+                raise ValueError(f"unsupported metadata value for {key!r}: {val!r}")
+
+        offset = 0
+        ordered = list(tensors.items())
+        for name, arr in ordered:
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            w_str(name)
+            f.write(struct.pack("<I", arr.ndim))
+            for d in reversed(arr.shape):
+                f.write(struct.pack("<Q", d))
+            f.write(struct.pack("<I", _GGML_F32))
+            f.write(struct.pack("<Q", offset))
+            offset += arr.nbytes
+            offset += (-offset) % DEFAULT_ALIGNMENT
+
+        pos = f.tell()
+        f.write(b"\x00" * ((-pos) % DEFAULT_ALIGNMENT))
+        for name, arr in ordered:
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            f.write(arr.tobytes())
+            f.write(b"\x00" * ((-arr.nbytes) % DEFAULT_ALIGNMENT))

@@ -1,0 +1,95 @@
+"""Sampler semantics vs a pure-numpy oracle of the reference pipeline
+(src/models/llama/mod.rs:666-772)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.core import sampling
+
+
+def ref_pipeline_probs(logits, temperature, top_k, top_p):
+    """Numpy oracle: returns (candidate_indices, probs) after top-k/top-p."""
+    order = np.argsort(-logits, kind="stable")
+    cand = [(i, logits[i]) for i in order]
+    if 0 < top_k < len(cand):
+        cand = cand[:top_k]
+    mx = cand[0][1]
+    probs = np.array([np.exp((l - mx) / temperature) for _, l in cand])
+    probs = probs / probs.sum()
+    if top_p < 1.0:
+        cum, cutoff = 0.0, len(probs)
+        for i, p in enumerate(probs):
+            cum += p
+            if cum >= top_p:
+                cutoff = i + 1
+                break
+        cand, probs = cand[:cutoff], probs[:cutoff]
+        probs = probs / probs.sum()
+    return np.array([i for i, _ in cand]), probs
+
+
+def test_greedy_matches_argmax():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2160,)).astype(np.float32)
+    assert int(sampling.greedy_sample(jnp.asarray(logits))) == int(np.argmax(logits))
+
+
+def test_greedy_tie_breaks_low_index():
+    logits = np.zeros(16, np.float32)
+    logits[3] = 5.0
+    logits[9] = 5.0
+    assert int(sampling.greedy_sample(jnp.asarray(logits))) == 3
+
+
+def test_temperature_zero_routes_to_greedy():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    out = sampling.sample(logits, jax.random.key(0), 0.0, 40, 0.9)
+    assert int(out) == int(jnp.argmax(logits))
+
+
+def test_support_respects_topk_topp():
+    """Every sampled index must be inside the reference candidate set."""
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(512,)).astype(np.float32) * 3
+    cand, _ = ref_pipeline_probs(logits, 0.7, 40, 0.9)
+    allowed = set(cand.tolist())
+    jl = jnp.asarray(logits)
+    keys = jax.random.split(jax.random.key(42), 200)
+    draws = jax.vmap(lambda k: sampling.sample(jl, k, 0.7, 40, 0.9))(keys)
+    assert set(np.asarray(draws).tolist()) <= allowed
+
+
+def test_distribution_matches_reference_probs():
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(64,)).astype(np.float32) * 2
+    cand, probs = ref_pipeline_probs(logits, 0.8, 10, 0.95)
+    jl = jnp.asarray(logits)
+    n = 4000
+    keys = jax.random.split(jax.random.key(7), n)
+    draws = np.asarray(
+        jax.vmap(lambda k: sampling.sample(jl, k, 0.8, 10, 0.95))(keys)
+    )
+    emp = np.array([(draws == c).mean() for c in cand])
+    assert np.abs(emp - probs).max() < 0.05
+
+
+def test_fixed_seed_reproducible():
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(2160,)).astype(np.float32))
+    a = sampling.sample(logits, jax.random.key(123), 0.7, 40, 0.9)
+    b = sampling.sample(logits, jax.random.key(123), 0.7, 40, 0.9)
+    assert int(a) == int(b)
+
+
+def test_sample_slice_offsets():
+    """Predictor-style slice sampling returns absolute vocab indices
+    (src/tts/engine.rs:587-597)."""
+    logits = np.full(32768, -10.0, np.float32)
+    logits[5 * 2048 + 77] = 10.0
+    out = sampling.sample_slice(
+        jnp.asarray(logits), jax.random.key(0), 0.0, 0, 1.0,
+        limit_start=5 * 2048, limit_end=6 * 2048,
+    )
+    assert int(out) == 5 * 2048 + 77
