@@ -78,6 +78,7 @@ def forward(
     cache: Dict[str, jax.Array],
     cache_len: jax.Array,      # scalar int32: tokens already in cache
     *,
+    kv_valid_from: jax.Array | None = None,  # [B] first valid cache slot
     with_logits: bool = True,
 ) -> Tuple[jax.Array, jax.Array | None, Dict[str, jax.Array]]:
     """Run S new tokens through the decoder.
@@ -104,7 +105,9 @@ def forward(
         q = rope.apply_rope(q, cos, sin)
         k = rope.apply_rope(k, cos, sin)
         k_cache, v_cache = attention.update_kv_cache(k_cache, v_cache, k, v, cache_len)
-        attn = attention.gqa_attention(q, k_cache, v_cache, cache_len, kv_len)
+        attn = attention.gqa_attention(
+            q, k_cache, v_cache, cache_len, kv_len, kv_valid_from
+        )
         h = h + attn.reshape(B, S, nq * hd) @ lw["wo"]
         # --- MLP block (SwiGLU) ---
         m_in = rms_norm(h, lw["ln2"], cfg.rms_eps)

@@ -37,13 +37,16 @@ def gqa_attention(
     q: jax.Array,          # [B, S, nq, hd]
     k: jax.Array,          # [B, T, nk, hd] (full cache buffer)
     v: jax.Array,          # [B, T, nk, hd]
-    q_start: jax.Array,    # scalar: global position of query 0
+    q_start: jax.Array,    # scalar: cache slot of query 0
     kv_len: jax.Array,     # scalar: number of valid cache entries (incl. new)
+    kv_valid_from: jax.Array | None = None,   # [B]: first valid cache slot
 ) -> jax.Array:
     """Causal masked attention of new queries against the cache buffer.
 
-    Query i (global position q_start + i) attends cache slots j with
-    j <= q_start + i and j < kv_len. Returns [B, S, nq, hd] in q.dtype.
+    Query i (cache slot q_start + i) attends cache slots j with
+    kv_valid_from[b] <= j <= q_start + i and j < kv_len. `kv_valid_from`
+    implements left-padded ragged prompt batches: pad slots hold garbage
+    keys and are masked out per row. Returns [B, S, nq, hd] in q.dtype.
     """
     B, S, nq, hd = q.shape
     T = k.shape[1]
@@ -62,7 +65,11 @@ def gqa_attention(
     mask = (t_idx[None, :] <= q_pos[:, None]) & (
         t_idx[None, :] < jnp.asarray(kv_len, jnp.int32)
     )                                                        # [S, T]
-    scores = jnp.where(mask[None, None, None], scores, NEG_INF)
+    mask = jnp.broadcast_to(mask[None], (B, S, T))
+    if kv_valid_from is not None:
+        valid = t_idx[None, :] >= jnp.asarray(kv_valid_from, jnp.int32)[:, None]
+        mask = mask & valid[:, None, :]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgst,btkh->bskgh", probs, vf)

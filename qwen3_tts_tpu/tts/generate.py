@@ -1,0 +1,221 @@
+"""The autoregressive generation loop (talker -> predictor -> feedback).
+
+TPU-native re-design of `run_inference_stream` (`src/tts/engine.rs:445-656`).
+The reference does, per ~83 ms frame of audio: 1 talker FFI decode, 16
+predictor FFI decodes, a host matvec and 16 host table lookups — that
+serialization is its RTF bottleneck (SURVEY.md §3.2). Here the entire frame —
+talker step, code_0 sampling, predictor codebook scan, feedback embedding —
+is ONE compiled program, and the whole utterance loop can additionally run
+inside `lax.while_loop` so the host never syncs per frame (offline path).
+
+Two entry points:
+  * `generate_codes`    — fully fused device loop; returns the code matrix.
+  * `make_stream_fns`   — jitted (prefill, frame_step) pair for streaming:
+                          the host sees every frame's 16 codes as soon as the
+                          step returns, feeding the vocoder pipeline with
+                          4-frame chunks like the reference decoder thread.
+
+EOS semantics preserved: generation stops when code_0 in {2150, 151673}; the
+EOS frame itself is NOT emitted (`src/tts/engine.rs:558-561` breaks before
+pushing codes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..assets.tables import Assets
+from ..core import protocol, sampling
+from ..core.config import PredictorConfig, TalkerConfig
+from ..models import decoder, predictor, talker
+
+GenState = Dict[str, Any]
+
+
+def _sample_code0(logits, key, temperature, top_k: int, top_p):
+    """Talker code_0 from the [0, 2160) logit slice (src/tts/engine.rs:555)."""
+    sliced = logits[..., : protocol.TALKER_SAMPLE_LIMIT]
+    return sampling.sample(sliced, key, temperature, top_k, top_p)
+
+
+def _is_eos(code0: jax.Array) -> jax.Array:
+    eos = jnp.zeros_like(code0, dtype=bool)
+    for e in protocol.TALKER_EOS_IDS:
+        eos |= code0 == e
+    return eos
+
+
+def _feedback_embedding(assets: Assets, codes: jax.Array, hidden: int) -> jax.Array:
+    """Sum of the 16 codec rows + tts_pad (src/tts/engine.rs:623-631).
+
+    The reference then `resize`s to the talker width (truncate / zero-pad,
+    src/tts/engine.rs:631) — a no-op in production where both are 2048.
+    """
+    fb = assets.frame_embedding_sum(codes) + assets.tts_pad
+    dim = fb.shape[-1]
+    if dim == hidden:
+        return fb
+    if dim > hidden:
+        return fb[..., :hidden]
+    pad = [(0, 0)] * (fb.ndim - 1) + [(0, hidden - dim)]
+    return jnp.pad(fb, pad)
+
+
+def _frame_body(
+    models: Dict[str, Any],
+    talker_cfg: TalkerConfig,
+    pred_cfg: PredictorConfig,
+    top_k: int,
+    state: GenState,
+) -> Tuple[GenState, jax.Array, jax.Array]:
+    """One frame: sample code_0 -> predictor expand -> feedback decode.
+
+    Returns (new_state, frame_codes [B,16], newly_active [B] bool mask of rows
+    that emitted a real frame this step).
+    """
+    key, sub = jax.random.split(state["key"])
+    code0 = _sample_code0(
+        state["logits"], sub, state["temperature"], top_k, state["top_p"]
+    )
+    eos = _is_eos(code0)
+    done = state["done"] | eos
+    active = ~done                                            # emits a frame
+
+    h1024 = models["assets"].project(state["hidden"].astype(jnp.float32))
+    codes = predictor.frame_codes(
+        models["predictor"], pred_cfg, models["assets"], h1024, code0
+    )
+    codes = jnp.where(active[:, None], codes, 0)
+
+    fb = _feedback_embedding(models["assets"], codes, talker_cfg.hidden)
+    hidden, logits, cache = talker.step(
+        models["talker"], talker_cfg, fb.astype(jnp.dtype(talker_cfg.dtype)),
+        state["slot"], state["pad_offset"], state["cache"],
+    )
+
+    new_state = dict(
+        state,
+        key=key,
+        hidden=hidden,
+        logits=logits,
+        cache=cache,
+        slot=state["slot"] + 1,
+        step=state["step"] + 1,
+        done=done,
+        n_frames=state["n_frames"] + active.astype(jnp.int32),
+    )
+    return new_state, codes, active
+
+
+def init_state(
+    models: Dict[str, Any],
+    talker_cfg: TalkerConfig,
+    prompt_embeds: jax.Array,      # [B, S, H] left-padded
+    pad_offset: jax.Array,         # [B]
+    key: jax.Array,
+    temperature: float,
+    top_p: float,
+) -> GenState:
+    """Talker prefill -> initial generation state (src/tts/engine.rs:456-462)."""
+    B, S, _ = prompt_embeds.shape
+    cache = decoder.init_kv_cache(talker_cfg, B)
+    hidden, logits, cache = talker.prefill(
+        models["talker"], talker_cfg,
+        prompt_embeds.astype(jnp.dtype(talker_cfg.dtype)), pad_offset, cache,
+    )
+    return dict(
+        key=key,
+        hidden=hidden,
+        logits=logits,
+        cache=cache,
+        slot=jnp.int32(S),
+        step=jnp.int32(0),
+        pad_offset=jnp.asarray(pad_offset, jnp.int32),
+        done=jnp.zeros((B,), bool),
+        n_frames=jnp.zeros((B,), jnp.int32),
+        temperature=jnp.float32(temperature),
+        top_p=jnp.float32(top_p),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "pred_cfg", "top_k", "max_steps"),
+)
+def generate_codes(
+    models: Dict[str, Any],
+    talker_cfg: TalkerConfig,
+    pred_cfg: PredictorConfig,
+    prompt_embeds: jax.Array,
+    pad_offset: jax.Array,
+    key: jax.Array,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    max_steps: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused offline generation: whole loop on device.
+
+    Returns (codes [B, max_steps, 16] int32 — rows zero-filled past each
+    utterance's EOS — and n_frames [B] int32).
+    """
+    B = prompt_embeds.shape[0]
+    state = init_state(
+        models, talker_cfg, prompt_embeds, pad_offset, key, temperature, top_p
+    )
+    codes_buf = jnp.zeros((B, max_steps, protocol.NUM_CODEBOOKS), jnp.int32)
+
+    def cond(carry):
+        state, _ = carry
+        return (state["step"] < max_steps) & ~jnp.all(state["done"])
+
+    def body(carry):
+        state, buf = carry
+        step = state["step"]
+        state, codes, active = _frame_body(
+            models, talker_cfg, pred_cfg, top_k, state
+        )
+        buf = jax.lax.dynamic_update_slice(
+            buf, codes[:, None], (jnp.int32(0), step, jnp.int32(0))
+        )
+        return state, buf
+
+    state, codes_buf = jax.lax.while_loop(cond, body, (state, codes_buf))
+    return codes_buf, state["n_frames"]
+
+
+def make_stream_fns(talker_cfg: TalkerConfig, pred_cfg: PredictorConfig,
+                    top_k: int, frames_per_call: int = 1):
+    """Jitted (prefill_fn, step_fn) for streaming generation.
+
+    step_fn advances `frames_per_call` frames per host round-trip (a scan), so
+    a 4-frame vocoder chunk costs one dispatch. The host checks `done` and
+    forwards emitted codes to the vocoder pipeline.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def prefill_fn(models, prompt_embeds, pad_offset, key, temperature, top_p):
+        return init_state(
+            models, talker_cfg, prompt_embeds, pad_offset, key,
+            temperature, top_p,
+        )
+
+    @jax.jit
+    def step_fn(models, state):
+        def one(state, _):
+            state, codes, active = _frame_body(
+                models, talker_cfg, pred_cfg, top_k, state
+            )
+            return state, (codes, active)
+
+        state, (codes, active) = jax.lax.scan(
+            one, state, None, length=frames_per_call
+        )
+        # codes: [frames_per_call, B, 16] -> [B, frames_per_call, 16]
+        return state, jnp.swapaxes(codes, 0, 1), jnp.swapaxes(active, 0, 1)
+
+    return prefill_fn, step_fn

@@ -1,0 +1,151 @@
+"""Generation loop: fused-vs-streaming consistency, padding invariance,
+determinism, and protocol invariants — on tiny random-weight models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.assets import tables
+from qwen3_tts_tpu.core import protocol
+from qwen3_tts_tpu.core.config import tiny_engine_config
+from qwen3_tts_tpu.models import decoder
+from qwen3_tts_tpu.tts import generate
+
+CFG = tiny_engine_config(max_steps=6)
+
+
+@pytest.fixture(scope="module")
+def models():
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "talker": decoder.init_decoder(k1, CFG.talker),
+        "predictor": decoder.init_decoder(k2, CFG.predictor),
+        "assets": tables.random_assets(
+            k3, text_vocab=256, codec_rows=2176,
+            dim=CFG.talker.hidden, proj_dim=CFG.predictor.hidden,
+        ),
+    }
+
+
+def _prompt(batch, seqlen, seed=1):
+    key = jax.random.key(seed)
+    return 0.1 * jax.random.normal(key, (batch, seqlen, CFG.talker.hidden))
+
+
+def test_generate_shapes_and_ranges(models):
+    prompt = _prompt(1, 7)
+    codes, n_frames = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt,
+        jnp.zeros((1,), jnp.int32), jax.random.key(0),
+        0.0, 0, 1.0, CFG.max_steps,
+    )
+    codes = np.asarray(codes)
+    n = int(n_frames[0])
+    assert codes.shape == (1, CFG.max_steps, 16)
+    assert 0 < n <= CFG.max_steps
+    # code_0 within the talker sampling range; codebooks 1..15 within [0,2048)
+    assert (codes[0, :n, 0] < protocol.TALKER_SAMPLE_LIMIT).all()
+    assert (codes[0, :n, 1:] >= 0).all() and (codes[0, :n, 1:] < 2048).all()
+    # frames past EOS are zero-filled
+    assert (codes[0, n:] == 0).all()
+
+
+def test_greedy_deterministic(models):
+    prompt = _prompt(1, 5)
+    out = []
+    for _ in range(2):
+        codes, n = generate.generate_codes(
+            models, CFG.talker, CFG.predictor, prompt,
+            jnp.zeros((1,), jnp.int32), jax.random.key(7),
+            0.0, 0, 1.0, CFG.max_steps,
+        )
+        out.append((np.asarray(codes), np.asarray(n)))
+    np.testing.assert_array_equal(out[0][0], out[1][0])
+    np.testing.assert_array_equal(out[0][1], out[1][1])
+
+
+def test_sampled_fixed_seed_deterministic(models):
+    prompt = _prompt(1, 5)
+    a = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt,
+        jnp.zeros((1,), jnp.int32), jax.random.key(42), 0.7, 40, 0.9,
+        CFG.max_steps,
+    )
+    b = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt,
+        jnp.zeros((1,), jnp.int32), jax.random.key(42), 0.7, 40, 0.9,
+        CFG.max_steps,
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_streaming_matches_fused_greedy(models):
+    """The jitted per-frame streaming path must produce exactly the fused
+    while_loop's codes (greedy ⇒ RNG-free comparison)."""
+    prompt = _prompt(1, 6)
+    pad = jnp.zeros((1,), jnp.int32)
+    fused_codes, fused_n = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt, pad,
+        jax.random.key(3), 0.0, 0, 1.0, CFG.max_steps,
+    )
+    prefill_fn, step_fn = generate.make_stream_fns(
+        CFG.talker, CFG.predictor, top_k=0, frames_per_call=1
+    )
+    state = prefill_fn(models, prompt, pad, jax.random.key(3), 0.0, 1.0)
+    got = []
+    for _ in range(CFG.max_steps):
+        state, codes, active = step_fn(models, state)
+        if not bool(active[0, 0]):
+            break
+        got.append(np.asarray(codes[0, 0]))
+    got = np.stack(got) if got else np.zeros((0, 16), np.int32)
+    n = int(fused_n[0])
+    assert got.shape[0] == n
+    np.testing.assert_array_equal(got, np.asarray(fused_codes)[0, :n])
+
+
+def test_left_padding_invariance(models):
+    """A left-padded row must generate the same greedy codes as the same
+    prompt unpadded (mask correctness for ragged DP batches)."""
+    prompt = _prompt(1, 5, seed=9)
+    codes_a, n_a = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt,
+        jnp.zeros((1,), jnp.int32), jax.random.key(0), 0.0, 0, 1.0,
+        CFG.max_steps,
+    )
+    pad_len = 3
+    padded = jnp.concatenate(
+        [jnp.full((1, pad_len, CFG.talker.hidden), 7.7), prompt], axis=1
+    )  # garbage pad content must be fully masked
+    codes_b, n_b = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, padded,
+        jnp.full((1,), pad_len, jnp.int32), jax.random.key(0), 0.0, 0, 1.0,
+        CFG.max_steps,
+    )
+    assert int(n_a[0]) == int(n_b[0])
+    np.testing.assert_array_equal(np.asarray(codes_a), np.asarray(codes_b))
+
+
+def test_batched_rows_independent(models):
+    """Greedy generation per batch row must equal the single-row result."""
+    p1 = _prompt(1, 5, seed=11)
+    p2 = _prompt(1, 5, seed=22)
+    both = jnp.concatenate([p1, p2], axis=0)
+    pad = jnp.zeros((2,), jnp.int32)
+    codes_b, n_b = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, both, pad,
+        jax.random.key(0), 0.0, 0, 1.0, CFG.max_steps,
+    )
+    for i, p in enumerate([p1, p2]):
+        codes_s, n_s = generate.generate_codes(
+            models, CFG.talker, CFG.predictor, p,
+            jnp.zeros((1,), jnp.int32), jax.random.key(0), 0.0, 0, 1.0,
+            CFG.max_steps,
+        )
+        n = min(int(n_s[0]), int(n_b[i]))
+        assert int(n_s[0]) == int(n_b[i])
+        np.testing.assert_array_equal(
+            np.asarray(codes_b)[i, :n], np.asarray(codes_s)[0, :n]
+        )
