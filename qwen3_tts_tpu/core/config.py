@@ -96,13 +96,16 @@ class VocoderConfig:
     n_heads: int = 16
     head_dim: int = 64
     ffn_dim: int = 4096
-    pre_conv_kernel: int = 3
-    post_conv_kernel: int = 7
-    # upsample 1 frame -> 2000 samples via 4 transposed-conv stages
-    upsample_factors: Tuple[int, ...] = (5, 5, 5, 4)  # 5*5*5*4*4 = 2000 with
-    istft_hop: int = 4          # final ISTFT-style overlap-add hop
+    pre_conv_kernel: int = 3    # causal conv over frames, embed -> hidden
+    post_conv_kernel: int = 7   # two causal post-net convs, hidden -> hidden
+    # ISTFT head: each frame emits `subframes` spectral slices that
+    # overlap-add at `hop` samples with an `n_fft` Hann window
+    # (subframes * hop == frame_samples == 2000).
+    subframes: int = 8
+    hop: int = 250
+    n_fft: int = 1000
     frame_samples: int = protocol.FRAME_SAMPLES
-    attn_window: int = 32       # streaming KV window (frames) carried in state
+    max_frames: int = 512       # KV-cache capacity carried in streaming state
     rms_eps: float = 1e-6
     dtype: str = "float32"
 
@@ -191,7 +194,7 @@ def tiny_engine_config(max_steps: int = 16) -> EngineConfig:
         ),
         vocoder=VocoderConfig(
             embed_dim=16, hidden=32, n_layers=2, n_heads=2, head_dim=16,
-            ffn_dim=64, attn_window=8,
+            ffn_dim=64, subframes=8, hop=250, n_fft=1000, max_frames=32,
         ),
         speaker_encoder=SpeakerEncoderConfig(
             hidden=32, n_layers=1, n_heads=2, head_dim=16, ffn_dim=64,

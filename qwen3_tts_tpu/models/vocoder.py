@@ -1,0 +1,261 @@
+"""Streaming vocoder: 16-codebook frames -> 24 kHz waveform.
+
+TPU-native replacement for the reference's opaque ONNX `qwen3_tts_decoder`
+(`src/models/onnx.rs:324-496`). The reference threads carried state through
+every call — `pre_conv_history [1,512,T]`, `latent_buffer [1,1024,T]`,
+`conv_history [1,1024,T]`, and 8 KV pairs `[1,16,T,64]` — which pins the
+shape of the graph: code-embedding sum (512ch) -> conv front-end -> 8-layer /
+16-head / 64-head-dim transformer with carried KV -> conv post-net (1024ch)
+-> upsampling head emitting 2000 samples per frame, with an `is_last` flush
+and `valid_samples` trim.
+
+This implementation keeps that exact *streaming contract* —
+`decode(codes[B,N,16], state, is_last) -> (wav, valid_samples, state)`, with
+chunked decoding bit-identical to one-shot decoding — while making
+TPU-first architecture choices instead of replaying the ONNX graph:
+
+  * every conv is CAUSAL with a fixed-width carried history (the reference's
+    variable-length buffers become fixed rolling windows, a jit requirement);
+  * the upsampler is an ISTFT head (frame -> 8 overlapping spectral slices,
+    Hann-windowed overlap-add at hop 250, n_fft 1000): pure matmul + irfft,
+    which XLA maps straight onto the MXU/VPU instead of a chain of
+    bandwidth-bound transposed convs;
+  * the overlap-add tail (750 samples) is carried in state so chunk
+    boundaries are exact.
+
+Weights are loaded from a converted checkpoint (assets/checkpoint.py); random
+init is provided for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PredictorConfig, VocoderConfig
+from . import decoder
+
+
+def transformer_config(cfg: VocoderConfig) -> PredictorConfig:
+    """Express the vocoder transformer through the shared decoder module."""
+    return PredictorConfig(
+        hidden=cfg.hidden,
+        n_layers=cfg.n_layers,
+        n_q_heads=cfg.n_heads,
+        n_kv_heads=cfg.n_heads,
+        head_dim=cfg.head_dim,
+        ffn_dim=cfg.ffn_dim,
+        vocab=8,                       # head unused (with_logits=False)
+        max_seq=cfg.max_frames,
+        mrope_sections=(cfg.head_dim // 2, 0, 0, 0),
+        dtype=cfg.dtype,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class VocoderState:
+    """Carried streaming state (fixed shapes; reference fields preserved)."""
+
+    pre_conv_history: jax.Array   # [B, embed_dim, pre_k-1]
+    latent_buffer: jax.Array      # [B, hidden, post_k-1]
+    conv_history: jax.Array       # [B, hidden, post_k-1]
+    kv: Dict[str, jax.Array]      # decoder cache [L, B, max_frames, H, hd]
+    frames_done: jax.Array        # scalar int32
+    ola_tail: jax.Array           # [B, n_fft - hop] overlap-add carry
+
+    def tree_flatten(self):
+        return (
+            (self.pre_conv_history, self.latent_buffer, self.conv_history,
+             self.kv, self.frames_done, self.ola_tail),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_state(cfg: VocoderConfig, batch: int) -> VocoderState:
+    """Zero state == the reference's empty (length-0) buffers
+    (src/models/onnx.rs:474-495): causal zero-padding at stream start."""
+    tcfg = transformer_config(cfg)
+    return VocoderState(
+        pre_conv_history=jnp.zeros(
+            (batch, cfg.embed_dim, cfg.pre_conv_kernel - 1), jnp.float32),
+        latent_buffer=jnp.zeros(
+            (batch, cfg.hidden, cfg.post_conv_kernel - 1), jnp.float32),
+        conv_history=jnp.zeros(
+            (batch, cfg.hidden, cfg.post_conv_kernel - 1), jnp.float32),
+        kv=decoder.init_kv_cache(tcfg, batch, dtype=jnp.float32),
+        frames_done=jnp.int32(0),
+        ola_tail=jnp.zeros((batch, cfg.n_fft - cfg.hop), jnp.float32),
+    )
+
+
+def init_vocoder(key: jax.Array, cfg: VocoderConfig,
+                 scale: float = 0.02) -> Dict[str, Any]:
+    ks = jax.random.split(key, 6)
+    n_bins = cfg.n_fft // 2 + 1
+    head_out = cfg.subframes * 2 * n_bins
+
+    def w(k, shape):
+        return (scale * jax.random.normal(k, shape)).astype(jnp.float32)
+
+    return {
+        "embed": w(ks[0], (cfg.num_codebooks, cfg.code_vocab, cfg.embed_dim)),
+        "pre_conv": {
+            "w": w(ks[1], (cfg.hidden, cfg.embed_dim, cfg.pre_conv_kernel)),
+            "b": jnp.zeros((cfg.hidden,), jnp.float32),
+        },
+        "transformer": decoder.init_decoder(ks[2], transformer_config(cfg), scale),
+        "post1": {
+            "w": w(ks[3], (cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
+            "b": jnp.zeros((cfg.hidden,), jnp.float32),
+        },
+        "post2": {
+            "w": w(ks[4], (cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
+            "b": jnp.zeros((cfg.hidden,), jnp.float32),
+        },
+        "head": {
+            "w": w(ks[5], (cfg.hidden, head_out)),
+            "b": jnp.zeros((head_out,), jnp.float32),
+        },
+    }
+
+
+def _causal_conv(x: jax.Array, history: jax.Array, w: jax.Array,
+                 b: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x [B, C, T] with carried left-context `history` [B, C, K-1].
+
+    Returns (y [B, Cout, T], new_history = last K-1 columns of the padded
+    input)."""
+    K = w.shape[-1]
+    xin = jnp.concatenate([history, x], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        xin, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ) + b[None, :, None]
+    new_hist = xin[..., xin.shape[-1] - (K - 1):] if K > 1 else history
+    return y, new_hist
+
+
+@functools.lru_cache(maxsize=8)
+def _ola_constants(n_fft: int, hop: int):
+    """Hann window + steady-state window-sum envelope (per hop position)."""
+    n = np.arange(n_fft)
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))      # periodic Hann
+    ratio = n_fft // hop
+    env = np.zeros(hop)
+    for k in range(ratio):
+        env += win[k * hop:(k + 1) * hop]
+    env = np.maximum(env, 1e-8)
+    # numpy (not jnp): jnp outputs would cache tracers across jit traces
+    return win.astype(np.float32), env.astype(np.float32)
+
+
+def _istft_ola(frames_td: jax.Array, tail: jax.Array, n_fft: int,
+               hop: int) -> Tuple[jax.Array, jax.Array]:
+    """Overlap-add of windowed time-domain slices.
+
+    frames_td: [B, M, n_fft] already windowed; tail: [B, n_fft - hop] carry.
+    Returns (samples [B, M*hop], new_tail [B, n_fft - hop]).
+    """
+    B, M, _ = frames_td.shape
+    ratio = n_fft // hop
+    # split each slice into `ratio` hop-sized segments
+    segs = frames_td.reshape(B, M, ratio, hop)
+    # output block t (length hop) = sum_k segs[t - k, k]
+    total = jnp.zeros((B, M + ratio - 1, hop), jnp.float32)
+    for k in range(ratio):
+        total = total.at[:, k:k + M].add(segs[:, :, k])
+    flat = total.reshape(B, (M + ratio - 1) * hop)
+    # fold in carried tail from the previous chunk
+    flat = flat.at[:, : n_fft - hop].add(tail)
+    emit = flat[:, : M * hop]
+    new_tail = flat[:, M * hop:]
+    _, env = _ola_constants(n_fft, hop)
+    emit = emit / jnp.asarray(np.tile(env, M))
+    return emit, new_tail
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode(
+    params: Dict[str, Any],
+    cfg: VocoderConfig,
+    codes: jax.Array,            # [B, N, 16] int32, clamped by caller to [0,2048)
+    state: VocoderState,
+    is_last: jax.Array | bool = False,
+) -> Tuple[jax.Array, jax.Array, VocoderState]:
+    """Decode N frames. Returns (wav [B, N*2000], valid_samples [B], state).
+
+    Matches the reference call contract (src/models/onnx.rs:342-458); with the
+    causal architecture every frame is fully determined when submitted, so
+    valid_samples is always N*2000 and `is_last` only marks stream end.
+    """
+    del is_last  # causal design: nothing held back to flush
+    B, N, Q = codes.shape
+    codes = jnp.clip(codes, 0, cfg.code_vocab - 1)
+
+    # 1. codebook embedding sum -> [B, N, embed_dim]
+    q_idx = jnp.arange(Q, dtype=jnp.int32)
+    emb = params["embed"][q_idx[None, None], codes]          # [B, N, 16, E]
+    x = jnp.sum(emb, axis=2)
+
+    # 2. causal pre-conv over frames (channels-first)
+    xc = jnp.swapaxes(x, 1, 2)                               # [B, E, N]
+    y, pre_hist = _causal_conv(
+        xc, state.pre_conv_history, params["pre_conv"]["w"],
+        params["pre_conv"]["b"])
+    y = jax.nn.gelu(y)
+
+    # 3. transformer with carried KV (global positions = frames_done + i)
+    tcfg = transformer_config(cfg)
+    h_in = jnp.swapaxes(y, 1, 2)                             # [B, N, hidden]
+    pos = state.frames_done + jnp.arange(N, dtype=jnp.int32)[None]
+    pos = jnp.broadcast_to(pos, (B, N))
+    h, _, kv = decoder.forward(
+        params["transformer"], tcfg, h_in, pos, state.kv,
+        state.frames_done, with_logits=False,
+    )
+
+    # 4. causal post-net
+    hc = jnp.swapaxes(h, 1, 2)
+    p1, lat_hist = _causal_conv(
+        hc, state.latent_buffer, params["post1"]["w"], params["post1"]["b"])
+    p1 = jax.nn.gelu(p1)
+    p2, conv_hist = _causal_conv(
+        p1, state.conv_history, params["post2"]["w"], params["post2"]["b"])
+    p2 = jax.nn.gelu(p2)
+    latents = jnp.swapaxes(p2, 1, 2)                         # [B, N, hidden]
+
+    # 5. ISTFT head: [B, N, hidden] -> [B, N*subframes, 2*n_bins]
+    n_bins = cfg.n_fft // 2 + 1
+    spec = latents @ params["head"]["w"] + params["head"]["b"]
+    spec = spec.reshape(B, N * cfg.subframes, 2, n_bins)
+    mag = jnp.exp(jnp.clip(spec[:, :, 0], -14.0, 14.0))
+    phase = spec[:, :, 1]
+    real = mag * jnp.cos(phase)
+    imag = mag * jnp.sin(phase)
+    td = jnp.fft.irfft(real + 1j * imag, n=cfg.n_fft, axis=-1)
+    win, _ = _ola_constants(cfg.n_fft, cfg.hop)
+    td = td * jnp.asarray(win)[None, None, :]
+
+    wav, tail = _istft_ola(td.astype(jnp.float32), state.ola_tail,
+                           cfg.n_fft, cfg.hop)
+
+    new_state = VocoderState(
+        pre_conv_history=pre_hist,
+        latent_buffer=lat_hist,
+        conv_history=conv_hist,
+        kv=kv,
+        frames_done=state.frames_done + N,
+        ola_tail=tail,
+    )
+    valid = jnp.full((B,), N * cfg.frame_samples, jnp.int32)
+    return wav, valid, new_state
