@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: single-stream RTF on real TPU hardware.
+
+Times the FUSED generation path — one `lax.while_loop` program that runs the
+whole utterance (talker step + 16-code predictor expansion per frame) in a
+single dispatch — plus one fused vocoder decode, on the full-size flagship
+config with seeded random bf16 weights (reference weights are not
+redistributable in this container; FLOP/byte volumes and code paths are
+identical — only argmax values differ).
+
+Methodology note: this environment reaches the TPU through a relay tunnel
+where (a) repeated dispatch of an identical computation can return without
+re-executing and (b) per-dispatch host round-trips cost seconds. Both are
+artifacts of the tunnel, not of the framework. We therefore time single
+dispatches of fused multi-frame programs with fresh PRNG keys per call and
+normalise by the frame count actually generated.
+
+Prints ONE JSON line:
+  {"metric": "rtf_per_stream", "value": N, "unit": "s_compute/s_audio",
+   "vs_baseline": N}
+vs_baseline = 0.553 / value (x-times faster than the reference's best CUDA
+RTF on an RTX 2080 Ti, BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_STEPS = 64          # frames per timed generation (~5.3 s of audio)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.core import protocol as P
+    from qwen3_tts_tpu.core.config import EngineConfig
+    from qwen3_tts_tpu.models import decoder, vocoder
+    from qwen3_tts_tpu.assets import tables
+    from qwen3_tts_tpu.tts import generate
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    cfg = EngineConfig()
+    k = jax.random.split(jax.random.key(0), 4)
+    models = {
+        "talker": decoder.init_decoder(k[0], cfg.talker),
+        "predictor": decoder.init_decoder(k[1], cfg.predictor),
+        "assets": tables.random_assets(
+            k[2], text_vocab=P.TEXT_VOCAB, codec_rows=3072,
+            dim=cfg.talker.hidden, proj_dim=cfg.predictor.hidden,
+        ),
+    }
+    voc_params = vocoder.init_vocoder(k[3], cfg.vocoder)
+    jax.block_until_ready(models)
+
+    B, S = 1, 64
+    prompt = 0.1 * jax.random.normal(
+        jax.random.key(9), (B, S, cfg.talker.hidden), jnp.bfloat16)
+    pad = jnp.zeros((B,), jnp.int32)
+
+    def gen(seed):
+        return generate.generate_codes(
+            models, cfg.talker, cfg.predictor, prompt, pad,
+            jax.random.key(seed), 0.7, 40, 0.9, N_STEPS)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    codes, n_frames = gen(1)
+    jax.block_until_ready((codes, n_frames))
+    print(f"generation compile+run: {time.perf_counter()-t0:.1f} s",
+          file=sys.stderr)
+
+    # timed: fresh keys per dispatch (defeats relay-level dedup)
+    gen_times, frames = [], []
+    for seed in (2, 3, 4):
+        t0 = time.perf_counter()
+        codes, n_frames = gen(seed)
+        n = int(jax.device_get(n_frames)[0])     # host fetch = hard sync
+        gen_times.append(time.perf_counter() - t0)
+        frames.append(max(n, 1))
+    frame_ms = 1e3 * sum(gen_times) / sum(frames)
+    print(f"generation: {[round(t,3) for t in gen_times]} s for {frames} "
+          f"frames -> {frame_ms:.2f} ms/frame", file=sys.stderr)
+
+    # vocoder: fused decode of the full code matrix, fresh codes per call
+    vstate = vocoder.init_state(cfg.vocoder, B)
+    wav, _, _ = vocoder.decode(voc_params, cfg.vocoder, codes, vstate, True)
+    jax.block_until_ready(wav)
+    voc_times = []
+    for seed in (5, 6):
+        rnd = jax.random.randint(jax.random.key(seed),
+                                 (B, N_STEPS, 16), 0, 2048, jnp.int32)
+        t0 = time.perf_counter()
+        wav, _, _ = vocoder.decode(voc_params, cfg.vocoder, rnd,
+                                   vocoder.init_state(cfg.vocoder, B), True)
+        _ = float(jax.device_get(jnp.sum(wav)))   # hard sync
+        voc_times.append(time.perf_counter() - t0)
+    voc_frame_ms = 1e3 * sum(voc_times) / (len(voc_times) * N_STEPS)
+    print(f"vocoder: {[round(t,3) for t in voc_times]} s "
+          f"-> {voc_frame_ms:.2f} ms/frame", file=sys.stderr)
+
+    frame_audio_s = P.FRAME_SAMPLES / P.SAMPLE_RATE      # 1/12 s
+    rtf = (frame_ms + voc_frame_ms) / 1e3 / frame_audio_s
+    audio_per_s = 1.0 / rtf
+    # first chunk = prefill(amortised in while_loop) + 4 frames + 4-frame vocode
+    first_chunk_ms = 4 * (frame_ms + voc_frame_ms)
+
+    print(f"RTF/stream: {rtf:.4f}  (audio-s/s/chip: {audio_per_s:.2f}; "
+          f"first-chunk est: {first_chunk_ms:.0f} ms)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rtf_per_stream",
+        "value": round(rtf, 4),
+        "unit": "s_compute/s_audio",
+        "vs_baseline": round(0.553 / rtf, 2),
+        "detail": {
+            "frame_ms": round(frame_ms, 3),
+            "vocoder_frame_ms": round(voc_frame_ms, 3),
+            "first_chunk_ms_est": round(first_chunk_ms, 1),
+            "audio_seconds_per_s_per_chip": round(audio_per_s, 2),
+            "n_steps": N_STEPS,
+            "device": str(dev),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,7 +33,26 @@ _SCALAR_FMT = {
 # GGML tensor dtypes we can materialise
 _GGML_F32 = 0
 _GGML_F16 = 1
+_GGML_Q8_0 = 8
 _GGML_DTYPES = {_GGML_F32: np.float32, _GGML_F16: np.float16}
+
+_Q8_0_BLOCK = 32            # elements per Q8_0 block
+_Q8_0_BYTES = 2 + _Q8_0_BLOCK   # f16 scale + 32 int8
+
+
+def dequant_q8_0(raw: bytes, count: int) -> np.ndarray:
+    """llama.cpp Q8_0: blocks of 32 int8 values scaled by one f16.
+
+    The reference never dequantises on the host (llama.cpp does it on GPU);
+    we dequantise at load time — TPU compute stays bf16 with optional int8
+    re-quantisation handled by the kernel layer.
+    """
+    n_blocks = count // _Q8_0_BLOCK
+    buf = np.frombuffer(raw, np.uint8, count=n_blocks * _Q8_0_BYTES)
+    blocks = buf.reshape(n_blocks, _Q8_0_BYTES)
+    scales = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    qs = blocks[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (qs * scales).reshape(-1)
 
 
 def _read_str(f: BinaryIO) -> str:
@@ -98,13 +117,23 @@ class GGUFFile:
 
     def read_tensor(self, name: str) -> np.ndarray:
         info = self.tensors[name]
+        count = int(np.prod(info.shape)) if info.shape else 1
+        if info.ggml_type == _GGML_Q8_0:
+            n_bytes = (count // _Q8_0_BLOCK) * _Q8_0_BYTES
+            with open(self.path, "rb") as f:
+                f.seek(self.data_start + info.offset)
+                raw = f.read(n_bytes)
+            if len(raw) != n_bytes:
+                raise ValueError(f"tensor {name!r}: truncated data")
+            return dequant_q8_0(raw, count).reshape(info.shape)
         if info.ggml_type not in _GGML_DTYPES:
             raise ValueError(
                 f"tensor {name!r}: unsupported ggml type {info.ggml_type} "
-                "(only F32/F16 assets are supported)"
+                "(F32/F16/Q8_0 supported; convert K-quant releases with "
+                "llama.cpp's dequantiser or use the unquantized 'gguf' "
+                "variant)"
             )
         dtype = _GGML_DTYPES[info.ggml_type]
-        count = int(np.prod(info.shape)) if info.shape else 1
         with open(self.path, "rb") as f:
             f.seek(self.data_start + info.offset)
             data = np.fromfile(f, dtype=dtype, count=count)

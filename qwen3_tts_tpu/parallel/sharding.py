@@ -1,0 +1,85 @@
+"""Partition specs: how every weight / activation maps onto the mesh.
+
+Megatron-style tensor parallelism for the decoder stacks: QKV and MLP
+up-projections are column-sharded over `model` (head dimension splits),
+output / down projections row-sharded, so each layer needs exactly one
+psum (XLA inserts it from these annotations). KV caches shard over the
+kv-head axis; utterance batches over `data`. Embedding tables and the small
+projection are replicated — they are lookup-bound, not FLOP-bound.
+
+Scaling-book recipe: pick the mesh, annotate shardings, let XLA place the
+collectives on ICI, profile, iterate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from jax.sharding import PartitionSpec as P
+
+from ..assets.tables import Assets
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def decoder_param_specs() -> Dict[str, Any]:
+    """Specs matching models.decoder init_decoder's pytree layout
+    ([L, ...] stacked layers)."""
+    return {
+        "layers": {
+            "ln1": P(),
+            "wq": P(None, None, MODEL_AXIS),     # column: heads split
+            "wk": P(None, None, MODEL_AXIS),
+            "wv": P(None, None, MODEL_AXIS),
+            "q_norm": P(),
+            "k_norm": P(),
+            "wo": P(None, MODEL_AXIS, None),     # row: psum after
+            "ln2": P(),
+            "w_gate": P(None, None, MODEL_AXIS),
+            "w_up": P(None, None, MODEL_AXIS),
+            "w_down": P(None, MODEL_AXIS, None),
+        },
+        "final_norm": P(),
+        "head": P(None, MODEL_AXIS),             # vocab-sharded logits
+    }
+
+
+def assets_specs() -> Assets:
+    # same pytree node type as the real Assets so tree_map structures match
+    return Assets(
+        text_table=P(),
+        codec_tables=P(),
+        proj_weight=P(),
+        proj_bias=P(),
+    )
+
+
+def models_specs() -> Dict[str, Any]:
+    """Specs for the engine's `models` dict (talker/predictor/assets)."""
+    return {
+        "talker": decoder_param_specs(),
+        "predictor": decoder_param_specs(),
+        "assets": assets_specs(),
+    }
+
+
+def kv_cache_specs() -> Dict[str, Any]:
+    # [L, B, T, n_kv_heads, head_dim]
+    spec = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    return {"k": spec, "v": spec}
+
+
+def batch_spec() -> P:
+    """Utterance-batch activations: [B, S, H]."""
+    return P(DATA_AXIS)
+
+
+def vocoder_param_specs() -> Dict[str, Any]:
+    conv = {"w": P(), "b": P()}
+    return {
+        "embed": P(),
+        "pre_conv": conv,
+        "transformer": decoder_param_specs(),
+        "post1": conv,
+        "post2": conv,
+        "head": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+    }

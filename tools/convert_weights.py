@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Convert upstream Qwen3-TTS release weights into qwen3_tts_tpu checkpoints.
+
+The reference downloads four weight artifacts from HF
+(`src/download.rs:55-101`): `qwen3_tts_talker.gguf`, `qwen3_tts_predictor.gguf`
+(llama.cpp layouts), `qwen3_assets.gguf` (embedding tables, consumed directly
+by assets/tables.py — no conversion needed), and ONNX graphs for the
+encoders/vocoder.
+
+This tool maps the two llama.cpp GGUF transformers onto our decoder pytree
+(models/decoder.py layout) and writes `talker.npz` / `predictor.npz`; the
+model geometry is read from GGUF metadata the same way llama.cpp does
+(`src/models/llama/mod.rs:337-365` reads n_embd/n_head/n_layer/n_vocab at
+load). ONNX-packaged weights (vocoder, encoders) are converted from a torch
+state_dict via `convert_torch_state_dict` once extracted (this container has
+no onnx parser; any exporter that yields named torch tensors works).
+
+Usage:
+  python tools/convert_weights.py --talker qwen3_tts_talker.gguf \
+      --predictor qwen3_tts_predictor.gguf --out models/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qwen3_tts_tpu.assets import checkpoint, gguf  # noqa: E402
+from qwen3_tts_tpu.core.config import PredictorConfig, TalkerConfig  # noqa: E402
+
+
+def _meta(f: gguf.GGUFFile, *keys, default=None):
+    for k in keys:
+        for arch in ("qwen3", "llama", "qwen2"):
+            v = f.metadata.get(f"{arch}.{k}")
+            if v is not None:
+                return v
+        if k in f.metadata:
+            return f.metadata[k]
+    return default
+
+
+def config_from_gguf(f: gguf.GGUFFile, kind: str):
+    """Model geometry from GGUF metadata (mirrors llama.cpp's load)."""
+    n_layer = int(_meta(f, "block_count"))
+    hidden = int(_meta(f, "embedding_length"))
+    n_head = int(_meta(f, "attention.head_count"))
+    n_kv = int(_meta(f, "attention.head_count_kv", default=n_head))
+    ffn = int(_meta(f, "feed_forward_length"))
+    head_dim = int(_meta(f, "attention.key_length", default=hidden // n_head))
+    theta = float(_meta(f, "rope.freq_base", default=1_000_000.0))
+    vocab = int(f.tensors["output.weight"].shape[0]) \
+        if "output.weight" in f.tensors else int(_meta(f, "vocab_size"))
+    sections = _meta(f, "rope.dimension_sections")
+    if sections is not None:
+        sections = tuple(int(s) for s in sections)
+        sections = sections + (0,) * (4 - len(sections))
+    common = dict(
+        hidden=hidden, n_layers=n_layer, n_q_heads=n_head, n_kv_heads=n_kv,
+        head_dim=head_dim, ffn_dim=ffn, vocab=vocab, rope_theta=theta,
+    )
+    if kind == "talker":
+        return TalkerConfig(
+            **common,
+            mrope_sections=sections or (24, 20, 20, 0),
+        )
+    return PredictorConfig(
+        **common,
+        mrope_sections=sections or (head_dim // 2, 0, 0, 0),
+    )
+
+
+def convert_llama_gguf(path: str, kind: str
+                       ) -> Tuple[Any, Dict[str, Any]]:
+    """llama.cpp GGUF -> (config, decoder params pytree as numpy arrays).
+
+    GGML stores weights [out, in] (numpy view after dim reversal); our
+    decoder layout is [in, out], hence the transposes.
+    """
+    f = gguf.GGUFFile(path)
+    cfg = config_from_gguf(f, kind)
+    L = cfg.n_layers
+
+    def t(name):
+        return np.ascontiguousarray(f.read_tensor(name).astype(np.float32).T)
+
+    def raw(name):
+        return f.read_tensor(name).astype(np.float32)
+
+    layers: Dict[str, list] = {k: [] for k in (
+        "ln1", "wq", "wk", "wv", "q_norm", "k_norm", "wo", "ln2",
+        "w_gate", "w_up", "w_down")}
+    for i in range(L):
+        p = f"blk.{i}."
+        layers["ln1"].append(raw(p + "attn_norm.weight"))
+        layers["wq"].append(t(p + "attn_q.weight"))
+        layers["wk"].append(t(p + "attn_k.weight"))
+        layers["wv"].append(t(p + "attn_v.weight"))
+        layers["q_norm"].append(raw(p + "attn_q_norm.weight"))
+        layers["k_norm"].append(raw(p + "attn_k_norm.weight"))
+        layers["wo"].append(t(p + "attn_output.weight"))
+        layers["ln2"].append(raw(p + "ffn_norm.weight"))
+        layers["w_gate"].append(t(p + "ffn_gate.weight"))
+        layers["w_up"].append(t(p + "ffn_up.weight"))
+        layers["w_down"].append(t(p + "ffn_down.weight"))
+
+    params = {
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "final_norm": raw("output_norm.weight"),
+        "head": t("output.weight"),
+    }
+    return cfg, params
+
+
+def export_llama_gguf(path: str, cfg, params: Dict[str, Any],
+                      arch: str = "qwen3") -> None:
+    """Inverse mapping (testing + interop): our pytree -> llama.cpp names."""
+    tensors: Dict[str, np.ndarray] = {}
+    lw = params["layers"]
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        tensors[p + "attn_norm.weight"] = np.asarray(lw["ln1"][i])
+        tensors[p + "attn_q.weight"] = np.asarray(lw["wq"][i]).T
+        tensors[p + "attn_k.weight"] = np.asarray(lw["wk"][i]).T
+        tensors[p + "attn_v.weight"] = np.asarray(lw["wv"][i]).T
+        tensors[p + "attn_q_norm.weight"] = np.asarray(lw["q_norm"][i])
+        tensors[p + "attn_k_norm.weight"] = np.asarray(lw["k_norm"][i])
+        tensors[p + "attn_output.weight"] = np.asarray(lw["wo"][i]).T
+        tensors[p + "ffn_norm.weight"] = np.asarray(lw["ln2"][i])
+        tensors[p + "ffn_gate.weight"] = np.asarray(lw["w_gate"][i]).T
+        tensors[p + "ffn_up.weight"] = np.asarray(lw["w_up"][i]).T
+        tensors[p + "ffn_down.weight"] = np.asarray(lw["w_down"][i]).T
+    tensors["output_norm.weight"] = np.asarray(params["final_norm"])
+    tensors["output.weight"] = np.asarray(params["head"]).T
+    meta = {
+        f"{arch}.block_count": cfg.n_layers,
+        f"{arch}.embedding_length": cfg.hidden,
+        f"{arch}.attention.head_count": cfg.n_q_heads,
+        f"{arch}.attention.head_count_kv": cfg.n_kv_heads,
+        f"{arch}.attention.key_length": cfg.head_dim,
+        f"{arch}.feed_forward_length": cfg.ffn_dim,
+        f"{arch}.rope.freq_base": cfg.rope_theta,
+        f"{arch}.rope.dimension_sections": list(cfg.mrope_sections),
+    }
+    gguf.write_gguf(path, tensors, meta)
+
+
+def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
+                             name_map: Dict[str, str]) -> Dict[str, Any]:
+    """Generic torch-export hook: flat {torch_name: tensor} + {torch_name:
+    'pytree/path'} -> nested numpy pytree for checkpoint.save_pytree."""
+    out: Dict[str, Any] = {}
+    for tname, path in name_map.items():
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(state_dict[tname])
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--talker")
+    ap.add_argument("--predictor")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    for kind, path in (("talker", args.talker), ("predictor", args.predictor)):
+        if not path:
+            continue
+        cfg, params = convert_llama_gguf(path, kind)
+        out_path = os.path.join(args.out, f"{kind}.npz")
+        checkpoint.save_pytree(out_path, params)
+        print(f"{kind}: {path} -> {out_path}  ({cfg})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
