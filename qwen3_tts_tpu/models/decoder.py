@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.config import PredictorConfig, TalkerConfig
 from ..ops import attention, rope
+from ..ops.quant import linear
 
 DecoderParams = Dict[str, Any]
 Config = TalkerConfig | PredictorConfig
@@ -97,9 +98,9 @@ def forward(
         lw, k_cache, v_cache = inputs
         # --- attention block ---
         a_in = rms_norm(h, lw["ln1"], cfg.rms_eps)
-        q = (a_in @ lw["wq"]).reshape(B, S, nq, hd)
-        k = (a_in @ lw["wk"]).reshape(B, S, nk, hd)
-        v = (a_in @ lw["wv"]).reshape(B, S, nk, hd)
+        q = linear(a_in, lw["wq"]).reshape(B, S, nq, hd)
+        k = linear(a_in, lw["wk"]).reshape(B, S, nk, hd)
+        v = linear(a_in, lw["wv"]).reshape(B, S, nk, hd)
         q = rms_norm(q, lw["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lw["k_norm"], cfg.rms_eps)
         q = rope.apply_rope(q, cos, sin)
@@ -108,11 +109,11 @@ def forward(
         attn = attention.gqa_attention(
             q, k_cache, v_cache, cache_len, kv_len, kv_valid_from
         )
-        h = h + attn.reshape(B, S, nq * hd) @ lw["wo"]
+        h = h + linear(attn.reshape(B, S, nq * hd), lw["wo"])
         # --- MLP block (SwiGLU) ---
         m_in = rms_norm(h, lw["ln2"], cfg.rms_eps)
-        gated = jax.nn.silu(m_in @ lw["w_gate"]) * (m_in @ lw["w_up"])
-        h = h + gated @ lw["w_down"]
+        gated = jax.nn.silu(linear(m_in, lw["w_gate"])) * linear(m_in, lw["w_up"])
+        h = h + linear(gated, lw["w_down"])
         return h, (k_cache, v_cache)
 
     h, (new_k, new_v) = jax.lax.scan(
@@ -124,5 +125,5 @@ def forward(
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = None
     if with_logits:
-        logits = (h @ params["head"]).astype(jnp.float32)
+        logits = linear(h, params["head"]).astype(jnp.float32)
     return h, logits, new_cache

@@ -66,7 +66,7 @@ class VocoderState:
     latent_buffer: jax.Array      # [B, hidden, post_k-1]
     conv_history: jax.Array       # [B, hidden, post_k-1]
     kv: Dict[str, jax.Array]      # decoder cache [L, B, max_frames, H, hd]
-    frames_done: jax.Array        # scalar int32
+    frames_done: jax.Array        # [B] int32 (per row: continuous batching)
     ola_tail: jax.Array           # [B, n_fft - hop] overlap-add carry
 
     def tree_flatten(self):
@@ -93,7 +93,7 @@ def init_state(cfg: VocoderConfig, batch: int) -> VocoderState:
         conv_history=jnp.zeros(
             (batch, cfg.hidden, cfg.post_conv_kernel - 1), jnp.float32),
         kv=decoder.init_kv_cache(tcfg, batch, dtype=jnp.float32),
-        frames_done=jnp.int32(0),
+        frames_done=jnp.zeros((batch,), jnp.int32),
         ola_tail=jnp.zeros((batch, cfg.n_fft - cfg.hop), jnp.float32),
     )
 
@@ -217,8 +217,7 @@ def decode(
     # 3. transformer with carried KV (global positions = frames_done + i)
     tcfg = transformer_config(cfg)
     h_in = jnp.swapaxes(y, 1, 2)                             # [B, N, hidden]
-    pos = state.frames_done + jnp.arange(N, dtype=jnp.int32)[None]
-    pos = jnp.broadcast_to(pos, (B, N))
+    pos = state.frames_done[:, None] + jnp.arange(N, dtype=jnp.int32)[None]
     h, _, kv = decoder.forward(
         params["transformer"], tcfg, h_in, pos, state.kv,
         state.frames_done, with_logits=False,

@@ -19,34 +19,48 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _per_row(start: jax.Array, batch: int) -> jax.Array:
+    """Normalise a scalar-or-[B] cache position to [B] int32. Per-row
+    positions are what continuous batching needs: co-batched streams admitted
+    at different times each write/read their own cache extent."""
+    start = jnp.asarray(start, jnp.int32)
+    if start.ndim == 0:
+        start = jnp.broadcast_to(start, (batch,))
+    return start
+
+
 def update_kv_cache(
     k_cache: jax.Array,   # [B, T, nk, hd]
     v_cache: jax.Array,
     k_new: jax.Array,     # [B, S, nk, hd]
     v_new: jax.Array,
-    start: jax.Array,     # scalar int32: write offset (= tokens already cached)
+    start: jax.Array,     # scalar or [B] int32: per-row write offset
 ):
-    zero = jnp.zeros((), jnp.int32)
-    idx = (zero, jnp.asarray(start, jnp.int32), zero, zero)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), idx)
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), idx)
-    return k_cache, v_cache
+    starts = _per_row(start, k_cache.shape[0])
+
+    def write(cache, new):
+        return jax.vmap(
+            lambda c, n, s: jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype), (s, jnp.int32(0), jnp.int32(0)))
+        )(cache, new, starts)
+
+    return write(k_cache, k_new), write(v_cache, v_new)
 
 
 def gqa_attention(
     q: jax.Array,          # [B, S, nq, hd]
     k: jax.Array,          # [B, T, nk, hd] (full cache buffer)
     v: jax.Array,          # [B, T, nk, hd]
-    q_start: jax.Array,    # scalar: cache slot of query 0
-    kv_len: jax.Array,     # scalar: number of valid cache entries (incl. new)
+    q_start: jax.Array,    # scalar or [B]: cache slot of query 0 per row
+    kv_len: jax.Array,     # scalar or [B]: valid cache entries (incl. new)
     kv_valid_from: jax.Array | None = None,   # [B]: first valid cache slot
 ) -> jax.Array:
     """Causal masked attention of new queries against the cache buffer.
 
-    Query i (cache slot q_start + i) attends cache slots j with
-    kv_valid_from[b] <= j <= q_start + i and j < kv_len. `kv_valid_from`
-    implements left-padded ragged prompt batches: pad slots hold garbage
-    keys and are masked out per row. Returns [B, S, nq, hd] in q.dtype.
+    Query i of row b (cache slot q_start[b] + i) attends cache slots j with
+    kv_valid_from[b] <= j <= q_start[b] + i and j < kv_len[b]. Per-row
+    positions support left-padded ragged prompts AND continuous batching
+    (streams admitted at different times). Returns [B, S, nq, hd] in q.dtype.
     """
     B, S, nq, hd = q.shape
     T = k.shape[1]
@@ -61,11 +75,11 @@ def gqa_attention(
 
     t_idx = jnp.arange(T, dtype=jnp.int32)
     s_idx = jnp.arange(S, dtype=jnp.int32)
-    q_pos = jnp.asarray(q_start, jnp.int32) + s_idx          # [S]
-    mask = (t_idx[None, :] <= q_pos[:, None]) & (
-        t_idx[None, :] < jnp.asarray(kv_len, jnp.int32)
-    )                                                        # [S, T]
-    mask = jnp.broadcast_to(mask[None], (B, S, T))
+    q_pos = _per_row(q_start, B)[:, None] + s_idx[None, :]   # [B, S]
+    kv_len_b = _per_row(kv_len, B)                           # [B]
+    mask = (t_idx[None, None, :] <= q_pos[:, :, None]) & (
+        t_idx[None, None, :] < kv_len_b[:, None, None]
+    )                                                        # [B, S, T]
     if kv_valid_from is not None:
         valid = t_idx[None, :] >= jnp.asarray(kv_valid_from, jnp.int32)[:, None]
         mask = mask & valid[:, None, :]

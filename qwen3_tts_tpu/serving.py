@@ -1,0 +1,245 @@
+"""Continuous-batching multi-stream serving engine.
+
+New first-class surface (the reference is strictly single-stream, one CLI
+invocation per utterance): a fixed device batch of `max_streams` slots runs
+ONE fused 4-frame step program per tick; streams are admitted into free slots
+mid-flight by scattering their prefilled KV rows into the batch cache, and
+released on EOS. Fixed shapes keep XLA from recompiling (SURVEY.md §7
+"continuous batching of ragged utterances": masking + slot reuse).
+
+Correctness invariant (tested): a stream's greedy output is bit-identical to
+running it alone — per-row attention masks and per-slot vocoder state make
+co-batched streams non-interacting.
+
+Host-side bookkeeping (slot lifecycle, chunk batching) rides the native
+ttsrt runtime when built.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import runtime
+from .core import protocol as P
+from .core.config import EngineConfig
+from .models import decoder, talker, vocoder
+from .tts import generate, prompt
+from .tts.engine import TtsEngine
+from .utils.audio import AudioSample
+from .utils.voice_file import VoiceFile
+
+
+@dataclasses.dataclass
+class _Stream:
+    stream_id: int
+    slot: int
+    on_chunk: Optional[Callable[[np.ndarray], None]]
+    pieces: List[np.ndarray] = dataclasses.field(default_factory=list)
+    frames: int = 0
+    done: bool = False
+    result: Optional[AudioSample] = None
+
+
+class ServingEngine:
+    """Multi-stream streaming TTS over one device batch."""
+
+    def __init__(self, engine: TtsEngine, max_streams: int = 4,
+                 chunk_frames: int = P.STREAM_CHUNK_FRAMES):
+        self.engine = engine
+        self.cfg: EngineConfig = engine.config
+        self.B = max_streams
+        self.chunk_frames = chunk_frames
+        self.slots = runtime.SlotManager(max_streams)
+        self.streams: Dict[int, _Stream] = {}
+        self._slot_stream: Dict[int, int] = {}
+
+        cfg = self.cfg
+        tcfg = cfg.talker
+        # batch-wide generation state (all slots, fixed shapes)
+        self._state = None      # lazily built on first submit
+        self._vstate = vocoder.init_state(cfg.vocoder, max_streams)
+
+        sc = engine.sampler_config
+        self._prefill_fn, self._step_fn = generate.make_stream_fns(
+            tcfg, cfg.predictor, top_k=sc.top_k,
+            frames_per_call=chunk_frames)
+
+    # ------------------------------------------------------------------ admit
+    def _blank_state(self):
+        cfg = self.cfg.talker
+        B = self.B
+        return dict(
+            key=jax.random.key(0),
+            hidden=jnp.zeros((B, cfg.hidden), jnp.dtype(cfg.dtype)),
+            logits=jnp.full((B, cfg.vocab), -1e9, jnp.float32),
+            cache=decoder.init_kv_cache(cfg, B),
+            slot=jnp.zeros((B,), jnp.int32),   # per-row cache positions
+            step=jnp.int32(0),
+            pad_offset=jnp.zeros((B,), jnp.int32),
+            done=jnp.ones((B,), bool),          # empty slots are "done"
+            n_frames=jnp.zeros((B,), jnp.int32),
+            temperature=jnp.float32(self.engine.sampler_config.temperature),
+            top_p=jnp.float32(self.engine.sampler_config.top_p),
+        )
+
+    def submit(self, text: str, voice: VoiceFile,
+               instruct: Optional[str] = None,
+               on_chunk: Optional[Callable[[np.ndarray], None]] = None,
+               ) -> Optional[int]:
+        """Admit a stream. Returns stream_id, or None when the batch is full."""
+        slot, sid = self.slots.acquire()
+        if slot is None:
+            return None
+        if self._state is None:
+            self._state = self._blank_state()
+
+        data = self.engine._prompt_for_voice(text, voice, instruct)
+        batch1, offs1 = prompt.pad_batch([data.embeds])
+        key = self.engine._seed_key()
+        sc = self.engine.sampler_config
+        st1 = self._prefill_fn(
+            {k: self.engine.models[k] for k in ("talker", "predictor", "assets")},
+            batch1, offs1, key, sc.temperature, sc.top_p)
+        self._state = _scatter_row(self._state, st1, slot)
+        self._vstate = _reset_vocoder_row(self._vstate, self.cfg.vocoder, slot)
+        s = _Stream(stream_id=sid, slot=slot, on_chunk=on_chunk)
+        self.streams[sid] = s
+        self._slot_stream[slot] = sid
+        return sid
+
+    # ------------------------------------------------------------------- step
+    def step(self) -> int:
+        """Advance every active stream by one chunk (one device dispatch).
+        Returns the number of active streams after the tick."""
+        if self._state is None or self.slots.active() == 0:
+            return 0
+        models = {k: self.engine.models[k]
+                  for k in ("talker", "predictor", "assets")}
+        self._state, codes, active = self._step_fn(models, self._state)
+        codes = np.asarray(codes)           # [B, chunk, 16]
+        active = np.asarray(active)         # [B, chunk]
+        done = np.asarray(self._state["done"])
+
+        # vocode all slots in one batched call, then trim per stream
+        n_new = active.sum(axis=1)          # frames per slot this tick
+        if n_new.max(initial=0) > 0:
+            chunk = jnp.asarray(codes[:, : self.chunk_frames], jnp.int32)
+            wav, _, self._vstate = vocoder.decode(
+                self.engine.vocoder_params, self.cfg.vocoder, chunk,
+                self._vstate, False)
+            wav = np.asarray(wav)
+        else:
+            wav = np.zeros(
+                (self.B, self.chunk_frames * self.cfg.vocoder.frame_samples),
+                np.float32)
+
+        for slot, sid in list(self._slot_stream.items()):
+            s = self.streams[sid]
+            k = int(n_new[slot])
+            if k > 0:
+                piece = wav[slot, : k * self.cfg.vocoder.frame_samples]
+                s.pieces.append(piece)
+                s.frames += k
+                self.slots.mark_frames(slot, k)
+                if s.on_chunk is not None:
+                    s.on_chunk(piece)
+            max_hit = s.frames >= self.engine.max_steps
+            if bool(done[slot]) or max_hit:
+                s.done = True
+                s.result = AudioSample(
+                    samples=(np.concatenate(s.pieces) if s.pieces
+                             else np.zeros(0, np.float32)),
+                    sample_rate=P.SAMPLE_RATE, channels=1)
+                self.slots.mark_eos(slot)
+                self.slots.release(slot)
+                del self._slot_stream[slot]
+                # mark the row done so the device loop stops emitting for it
+                self._state["done"] = jnp.asarray(
+                    np.asarray(self._state["done"]) | _onehot(slot, self.B))
+        return self.slots.active()
+
+    def run_until_drained(self, max_ticks: int = 1000) -> None:
+        for _ in range(max_ticks):
+            if self.step() == 0 and self.slots.active() == 0:
+                break
+
+    def result(self, stream_id: int) -> Optional[AudioSample]:
+        s = self.streams.get(stream_id)
+        return s.result if s and s.done else None
+
+
+def _onehot(i: int, n: int) -> np.ndarray:
+    v = np.zeros(n, bool)
+    v[i] = True
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("row",))
+def _scatter_state(big, small, row: int):
+    def scatter(b, s):
+        return jax.lax.dynamic_update_slice(
+            b, s.astype(b.dtype), (row,) + (0,) * (b.ndim - 1))
+
+    out = dict(big)
+    out["hidden"] = scatter(big["hidden"], small["hidden"])
+    out["logits"] = scatter(big["logits"], small["logits"])
+    out["pad_offset"] = scatter(big["pad_offset"], small["pad_offset"])
+    out["done"] = scatter(big["done"], jnp.zeros((1,), bool))
+    out["n_frames"] = scatter(big["n_frames"], jnp.zeros((1,), jnp.int32))
+    # cache rows: [L, B, T, nk, hd] <- [L, 1, T', nk, hd] (T' <= T, rest zero)
+    cache = {}
+    for kname in ("k", "v"):
+        b = big["cache"][kname]
+        s = small["cache"][kname]
+        s_pad = jnp.zeros((b.shape[0], 1) + b.shape[2:], b.dtype)
+        s_pad = jax.lax.dynamic_update_slice(
+            s_pad, s.astype(b.dtype), (0,) * s.ndim)
+        cache[kname] = jax.lax.dynamic_update_slice(
+            b, s_pad, (0, row) + (0,) * (b.ndim - 2))
+    out["cache"] = cache
+    return out
+
+
+def _scatter_row(big, small, row: int):
+    """Insert a freshly prefilled single-row state into batch row `row`.
+
+    Cache positions are PER ROW (`slot` is [B]): the admitted row starts at
+    its own prompt length while running rows keep their extents — this is
+    what makes staggered admission non-interacting (zero cache slots beyond a
+    row's own extent are masked by its per-row kv_len).
+
+    RNG: the batch shares one key stream; admission folds in the new
+    stream's entropy. Greedy decoding is unaffected; sampled co-batched
+    streams draw from the same distributions as solo runs but not the same
+    sequence (documented RNG policy).
+    """
+    new = _scatter_state(big, small, row)
+    slot_b = jnp.broadcast_to(jnp.asarray(big["slot"], jnp.int32),
+                              new["done"].shape)
+    new["slot"] = slot_b.at[row].set(
+        jnp.asarray(small["slot"], jnp.int32).reshape(()))
+    new["key"] = jax.random.fold_in(small["key"], row)
+    new["step"] = big["step"]
+    new["temperature"] = small["temperature"]
+    new["top_p"] = small["top_p"]
+    return new
+
+
+def _reset_vocoder_row(vstate, vcfg, row: int):
+    def zero_row(x):
+        return x.at[row].set(jnp.zeros_like(x[row]))
+
+    return vocoder.VocoderState(
+        pre_conv_history=zero_row(vstate.pre_conv_history),
+        latent_buffer=zero_row(vstate.latent_buffer),
+        conv_history=zero_row(vstate.conv_history),
+        kv={k: v.at[:, row].set(0) for k, v in vstate.kv.items()},
+        frames_done=vstate.frames_done.at[row].set(0),
+        ola_tail=zero_row(vstate.ola_tail),
+    )

@@ -31,7 +31,7 @@ def test_shapes_and_valid(params):
     wav, valid, state = vocoder.decode(params, CFG, codes, state, False)
     assert wav.shape == (1, 5 * CFG.frame_samples)
     assert valid.tolist() == [5 * CFG.frame_samples]
-    assert int(state.frames_done) == 5
+    assert int(state.frames_done[0]) == 5
     assert np.isfinite(np.asarray(wav)).all()
 
 
