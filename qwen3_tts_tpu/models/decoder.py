@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import PredictorConfig, TalkerConfig
-from ..ops import attention, rope
+from ..ops import attention, flash_decode, rope
 from ..ops.quant import linear
 
 DecoderParams = Dict[str, Any]
@@ -66,8 +66,10 @@ def init_decoder(key: jax.Array, cfg: Config, scale: float = 0.02) -> DecoderPar
 
 
 def init_kv_cache(cfg: Config, batch: int, dtype=None) -> Dict[str, jax.Array]:
+    """Head-major layout [L, B, n_kv, T, hd]: per-head cache slices are
+    contiguous, which both the dense path and the flash-decode DMA want."""
     dtype = dtype or jnp.dtype(cfg.dtype)
-    shape = (cfg.n_layers, batch, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -90,6 +92,9 @@ def forward(
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
     cache_len = jnp.asarray(cache_len, jnp.int32)
     kv_len = cache_len + S
+    # Single-token decode on TPU uses the Pallas flash-decode kernel: HBM
+    # traffic scales with the valid cache prefix instead of max_seq.
+    use_flash = S == 1 and flash_decode.usable(cfg)
 
     pos4 = rope.mrope_positions(positions)
     cos, sin = rope.rope_angles(pos4, cfg.mrope_sections, hd, cfg.rope_theta)
@@ -106,9 +111,17 @@ def forward(
         q = rope.apply_rope(q, cos, sin)
         k = rope.apply_rope(k, cos, sin)
         k_cache, v_cache = attention.update_kv_cache(k_cache, v_cache, k, v, cache_len)
-        attn = attention.gqa_attention(
-            q, k_cache, v_cache, cache_len, kv_len, kv_valid_from
-        )
+        if use_flash:
+            valid_from = (kv_valid_from if kv_valid_from is not None
+                          else jnp.zeros((B,), jnp.int32))
+            attn = flash_decode.decode_attention(
+                q[:, 0], k_cache, v_cache,
+                jnp.broadcast_to(kv_len, (B,)), valid_from,
+            )[:, None]
+        else:
+            attn = attention.gqa_attention(
+                q, k_cache, v_cache, cache_len, kv_len, kv_valid_from
+            )
         h = h + linear(attn.reshape(B, S, nq * hd), lw["wo"])
         # --- MLP block (SwiGLU) ---
         m_in = rms_norm(h, lw["ln2"], cfg.rms_eps)

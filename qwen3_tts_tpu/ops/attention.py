@@ -30,7 +30,7 @@ def _per_row(start: jax.Array, batch: int) -> jax.Array:
 
 
 def update_kv_cache(
-    k_cache: jax.Array,   # [B, T, nk, hd]
+    k_cache: jax.Array,   # [B, nk, T, hd] (head-major: DMA-friendly slices)
     v_cache: jax.Array,
     k_new: jax.Array,     # [B, S, nk, hd]
     v_new: jax.Array,
@@ -39,18 +39,19 @@ def update_kv_cache(
     starts = _per_row(start, k_cache.shape[0])
 
     def write(cache, new):
+        new_t = jnp.swapaxes(new, 1, 2)                 # [B, nk, S, hd]
         return jax.vmap(
             lambda c, n, s: jax.lax.dynamic_update_slice(
-                c, n.astype(c.dtype), (s, jnp.int32(0), jnp.int32(0)))
-        )(cache, new, starts)
+                c, n.astype(c.dtype), (jnp.int32(0), s, jnp.int32(0)))
+        )(cache, new_t, starts)
 
     return write(k_cache, k_new), write(v_cache, v_new)
 
 
 def gqa_attention(
     q: jax.Array,          # [B, S, nq, hd]
-    k: jax.Array,          # [B, T, nk, hd] (full cache buffer)
-    v: jax.Array,          # [B, T, nk, hd]
+    k: jax.Array,          # [B, nk, T, hd] (full cache buffer, head-major)
+    v: jax.Array,          # [B, nk, T, hd]
     q_start: jax.Array,    # scalar or [B]: cache slot of query 0 per row
     kv_len: jax.Array,     # scalar or [B]: valid cache entries (incl. new)
     kv_valid_from: jax.Array | None = None,   # [B]: first valid cache slot
@@ -63,15 +64,15 @@ def gqa_attention(
     (streams admitted at different times). Returns [B, S, nq, hd] in q.dtype.
     """
     B, S, nq, hd = q.shape
-    T = k.shape[1]
-    nk = k.shape[2]
+    nk = k.shape[1]
+    T = k.shape[2]
     g = nq // nk
 
     qf = q.astype(jnp.float32).reshape(B, S, nk, g, hd)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
 
-    scores = jnp.einsum("bskgh,btkh->bkgst", qf, kf) / jnp.sqrt(float(hd))
+    scores = jnp.einsum("bskgh,bkth->bkgst", qf, kf) / jnp.sqrt(float(hd))
 
     t_idx = jnp.arange(T, dtype=jnp.int32)
     s_idx = jnp.arange(S, dtype=jnp.int32)
@@ -86,5 +87,5 @@ def gqa_attention(
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgst,btkh->bskgh", probs, vf)
+    out = jnp.einsum("bkgst,bkth->bskgh", probs, vf)
     return out.reshape(B, S, nq, hd).astype(q.dtype)

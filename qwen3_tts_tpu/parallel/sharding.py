@@ -63,8 +63,8 @@ def models_specs() -> Dict[str, Any]:
 
 
 def kv_cache_specs() -> Dict[str, Any]:
-    # [L, B, T, n_kv_heads, head_dim]
-    spec = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    # [L, B, n_kv_heads, T, head_dim] (head-major layout)
+    spec = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     return {"k": spec, "v": spec}
 
 
