@@ -93,12 +93,21 @@ def main(argv=None) -> int:
     # voice selection mirrors src/bin/qwen3_tts.rs:113-133
     if args.ref_audio:
         print(f"Creating voice from reference: {args.ref_audio}")
-        voice = engine.create_voice_file(args.ref_audio, args.ref_text or "")
+        try:
+            voice = engine.create_voice_file(args.ref_audio,
+                                             args.ref_text or "")
+        except (OSError, ValueError, RuntimeError) as e:
+            print(f"Feature extraction failed: {e}", file=sys.stderr)
+            return 1
         if args.save_voice:
             voice.save(args.save_voice)
             print(f"Saved new voice file to: {args.save_voice}")
     elif args.voice_file:
-        voice = VoiceFile.load(args.voice_file)
+        try:
+            voice = VoiceFile.load(args.voice_file)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"Failed to load voice file: {e}", file=sys.stderr)
+            return 1
     else:
         voice = engine.get_speaker(args.speaker or "vivian")
     print(f"Voice Name: {voice.name or 'Dynamic'}")

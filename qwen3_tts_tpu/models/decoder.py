@@ -6,19 +6,27 @@ ids), RMSNorm + QK-norm, GQA with M-RoPE, SwiGLU MLP, final norm + dense head.
 Layer weights are stacked on a leading axis and executed with `lax.scan`, so
 the whole decode step is one compiled program regardless of depth.
 
+Decode-step performance choices (each ~ms-level on the flagship talker):
+  * QKV and gate/up projections are FUSED single matmuls (`wqkv`, `w_gu`) —
+    half the op count per layer, bigger MXU tiles at M=1;
+  * the stacked KV cache [L, B, n_kv, T, hd] is a scan CARRY updated in
+    place at (layer, row, slot) — no per-layer cache copies;
+  * `head_slice` computes only a dynamic column slice of the output head
+    (the predictor samples 2048 of 32768 logits per step: 16x less head
+    traffic, src/tts/engine.rs:587-597).
+
 Weight pytree layout (all [L, ...] stacked):
-  layers/ln1 [L,H], wq [L,H,nq*hd], wk [L,H,nk*hd], wv [L,H,nk*hd],
-  q_norm [L,hd], k_norm [L,hd], wo [L,nq*hd,H],
-  ln2 [L,H], w_gate [L,H,F], w_up [L,H,F], w_down [L,F,H]
+  layers/ln1 [L,H], wqkv [L,H,(nq+2nk)*hd], q_norm [L,hd], k_norm [L,hd],
+  wo [L,nq*hd,H], ln2 [L,H], w_gu [L,H,2F], w_down [L,F,H]
   final_norm [H], head [H, vocab]
 
-The KV cache is {"k","v": [L, B, max_seq, nk, hd]} plus an external int32
-`cache_len` (tokens already written).
+The KV cache is {"k","v": [L, B, n_kv, T, hd]} plus an external scalar-or-[B]
+`cache_len` (tokens already written, per row for continuous batching).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,15 +57,12 @@ def init_decoder(key: jax.Array, cfg: Config, scale: float = 0.02) -> DecoderPar
     return {
         "layers": {
             "ln1": jnp.ones((L, H), dtype),
-            "wq": w(ks[0], (L, H, nq * hd)),
-            "wk": w(ks[1], (L, H, nk * hd)),
-            "wv": w(ks[2], (L, H, nk * hd)),
+            "wqkv": w(ks[0], (L, H, (nq + 2 * nk) * hd)),
             "q_norm": jnp.ones((L, hd), dtype),
             "k_norm": jnp.ones((L, hd), dtype),
             "wo": w(ks[3], (L, nq * hd, H)),
             "ln2": jnp.ones((L, H), dtype),
-            "w_gate": w(ks[4], (L, H, F)),
-            "w_up": w(ks[5], (L, H, F)),
+            "w_gu": w(ks[4], (L, H, 2 * F)),
             "w_down": w(ks[6], (L, F, H)),
         },
         "final_norm": jnp.ones((H,), dtype),
@@ -73,13 +78,46 @@ def init_kv_cache(cfg: Config, batch: int, dtype=None) -> Dict[str, jax.Array]:
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _write_layer_cache(cache_all: jax.Array, new: jax.Array, layer: jax.Array,
+                       starts: jax.Array) -> jax.Array:
+    """In-place token write into the stacked cache.
+
+    cache_all [L, B, nk, T, hd]; new [B, S, nk, hd] written at
+    (layer, b, :, starts[b]:starts[b]+S, :). Single dynamic_update_slice per
+    row so the scan carry aliases in place instead of copying per layer.
+    """
+    new_t = jnp.swapaxes(new, 1, 2)                      # [B, nk, S, hd]
+
+    def one(cab, nb, s):                                 # cab [L, nk, T, hd]
+        return jax.lax.dynamic_update_slice(
+            cab, nb[None].astype(cab.dtype),
+            (layer, jnp.int32(0), s, jnp.int32(0)))
+
+    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache_all, new_t, starts)
+
+
+def head_logits(params: DecoderParams, h: jax.Array,
+                start: jax.Array, width: int) -> jax.Array:
+    """Logits for a dynamic column slice [start, start+width) of the head.
+
+    Supports dense and int8-quantized heads; returns float32 [..., width].
+    """
+    head = params["head"]
+    if isinstance(head, dict) and "q" in head:
+        q = jax.lax.dynamic_slice_in_dim(head["q"], start, width, axis=1)
+        s = jax.lax.dynamic_slice_in_dim(head["scale"], start, width, axis=0)
+        return linear(h, {"q": q, "scale": s}).astype(jnp.float32)
+    w = jax.lax.dynamic_slice_in_dim(head, start, width, axis=1)
+    return (h @ w).astype(jnp.float32)
+
+
 def forward(
     params: DecoderParams,
     cfg: Config,
     x: jax.Array,              # [B, S, H] embedding inputs
     positions: jax.Array,      # [B, S] sequence positions
     cache: Dict[str, jax.Array],
-    cache_len: jax.Array,      # scalar int32: tokens already in cache
+    cache_len: jax.Array,      # scalar or [B] int32: tokens already in cache
     *,
     kv_valid_from: jax.Array | None = None,  # [B] first valid cache slot
     with_logits: bool = True,
@@ -91,26 +129,34 @@ def forward(
     B, S, H = x.shape
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
     cache_len = jnp.asarray(cache_len, jnp.int32)
+    starts = jnp.broadcast_to(cache_len.reshape(-1), (B,))
     kv_len = cache_len + S
-    # Single-token decode on TPU uses the Pallas flash-decode kernel: HBM
+    # Single-token decode on TPU can use the Pallas flash-decode kernel: HBM
     # traffic scales with the valid cache prefix instead of max_seq.
     use_flash = S == 1 and flash_decode.usable(cfg)
 
     pos4 = rope.mrope_positions(positions)
     cos, sin = rope.rope_angles(pos4, cfg.mrope_sections, hd, cfg.rope_theta)
 
-    def layer_step(h, inputs):
-        lw, k_cache, v_cache = inputs
+    def layer_step(carry, inputs):
+        h, k_all, v_all = carry
+        lw, layer_idx = inputs
         # --- attention block ---
         a_in = rms_norm(h, lw["ln1"], cfg.rms_eps)
-        q = linear(a_in, lw["wq"]).reshape(B, S, nq, hd)
-        k = linear(a_in, lw["wk"]).reshape(B, S, nk, hd)
-        v = linear(a_in, lw["wv"]).reshape(B, S, nk, hd)
+        qkv = linear(a_in, lw["wqkv"])
+        q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+        k = qkv[..., nq * hd: (nq + nk) * hd].reshape(B, S, nk, hd)
+        v = qkv[..., (nq + nk) * hd:].reshape(B, S, nk, hd)
         q = rms_norm(q, lw["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lw["k_norm"], cfg.rms_eps)
         q = rope.apply_rope(q, cos, sin)
         k = rope.apply_rope(k, cos, sin)
-        k_cache, v_cache = attention.update_kv_cache(k_cache, v_cache, k, v, cache_len)
+        k_all = _write_layer_cache(k_all, k, layer_idx, starts)
+        v_all = _write_layer_cache(v_all, v, layer_idx, starts)
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0,
+                                               keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0,
+                                               keepdims=False)
         if use_flash:
             valid_from = (kv_valid_from if kv_valid_from is not None
                           else jnp.zeros((B,), jnp.int32))
@@ -123,15 +169,18 @@ def forward(
                 q, k_cache, v_cache, cache_len, kv_len, kv_valid_from
             )
         h = h + linear(attn.reshape(B, S, nq * hd), lw["wo"])
-        # --- MLP block (SwiGLU) ---
+        # --- MLP block (SwiGLU, fused gate+up) ---
         m_in = rms_norm(h, lw["ln2"], cfg.rms_eps)
-        gated = jax.nn.silu(linear(m_in, lw["w_gate"])) * linear(m_in, lw["w_up"])
-        h = h + linear(gated, lw["w_down"])
-        return h, (k_cache, v_cache)
+        gu = linear(m_in, lw["w_gu"])
+        F = gu.shape[-1] // 2
+        h = h + linear(jax.nn.silu(gu[..., :F]) * gu[..., F:], lw["w_down"])
+        return (h, k_all, v_all), None
 
-    h, (new_k, new_v) = jax.lax.scan(
-        layer_step, x.astype(jnp.dtype(cfg.dtype)),
-        (params["layers"], cache["k"], cache["v"]),
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (h, new_k, new_v), _ = jax.lax.scan(
+        layer_step,
+        (x.astype(jnp.dtype(cfg.dtype)), cache["k"], cache["v"]),
+        (params["layers"], layer_ids),
     )
     new_cache = {"k": new_k, "v": new_v}
 

@@ -40,34 +40,36 @@ def frame_codes(
     c0_emb = assets.codec_embedding_1024(jnp.zeros_like(code_0), code_0)
     x = jnp.stack([talker_hidden_1024, c0_emb], axis=1)      # [B, 2, 1024]
     pos = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32)[None], (B, 2))
-    _, logits, cache = decoder.forward(
-        params, cfg, x.astype(jnp.dtype(cfg.dtype)), pos, cache, jnp.int32(0)
+    h, _, cache = decoder.forward(
+        params, cfg, x.astype(jnp.dtype(cfg.dtype)), pos, cache, jnp.int32(0),
+        with_logits=False,
     )
-    last_logits = logits[:, -1]                              # [B, 32768]
+    # only codebook-1's 2048-column head slice is needed from the prefill
+    # (16x less head traffic than materialising all 32768 logits per step)
+    row_logits = decoder.head_logits(
+        params, h[:, -1], jnp.int32(0), protocol.CODE_VOCAB)  # [B, 2048]
 
     codes0 = jnp.zeros((B, protocol.NUM_CODEBOOKS), jnp.int32)
     codes0 = codes0.at[:, 0].set(code_0)
 
     def step(carry, q):
-        cache, last_logits, codes = carry
+        cache, row_logits, codes = carry
         # greedy over head slice [(q-1)*2048, q*2048), offset removed
-        sliced = jax.lax.dynamic_index_in_dim(
-            last_logits.reshape(B, protocol.NUM_CODEBOOKS, protocol.CODE_VOCAB),
-            q - 1, axis=1, keepdims=False,
-        )                                                    # [B, 2048]
-        code_q = jnp.argmax(sliced, axis=-1).astype(jnp.int32)
+        code_q = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
         codes = codes.at[:, q].set(code_q)
         # feed codec_emb_1024(q, code_q) at position q+1. The reference skips
         # the decode after q=15; running it uniformly inside scan is free of
         # host syncs and its output is simply unused.
         emb = assets.codec_embedding_1024(jnp.full_like(code_q, q), code_q)
         pos = jnp.broadcast_to((q + 1)[None, None], (B, 1))
-        _, logits, cache = decoder.forward(
+        h, _, cache = decoder.forward(
             params, cfg, emb[:, None].astype(jnp.dtype(cfg.dtype)), pos,
-            cache, q + 1,
+            cache, q + 1, with_logits=False,
         )
-        return (cache, logits[:, -1], codes), None
+        row_logits = decoder.head_logits(
+            params, h[:, -1], q * protocol.CODE_VOCAB, protocol.CODE_VOCAB)
+        return (cache, row_logits, codes), None
 
     qs = jnp.arange(1, protocol.NUM_CODEBOOKS, dtype=jnp.int32)
-    (cache, _, codes), _ = jax.lax.scan(step, (cache, last_logits, codes0), qs)
+    (cache, _, codes), _ = jax.lax.scan(step, (cache, row_logits, codes0), qs)
     return codes

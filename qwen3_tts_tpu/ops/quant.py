@@ -139,11 +139,11 @@ def linear(x: jax.Array, w: Weight) -> jax.Array:
     return x @ w
 
 
-_DECODER_MATMULS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_DECODER_MATMULS = ("wqkv", "wo", "w_gu", "w_down")
 
 
 def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Int8-quantize a models/decoder pytree: the seven stacked layer
+    """Int8-quantize a models/decoder pytree: the four stacked layer
     matmuls (per layer slice) and the output head; norms stay dense."""
 
     def q3(w):  # [L, in, out] -> per-(layer, out-channel) scales

@@ -27,15 +27,12 @@ def decoder_param_specs() -> Dict[str, Any]:
     return {
         "layers": {
             "ln1": P(),
-            "wq": P(None, None, MODEL_AXIS),     # column: heads split
-            "wk": P(None, None, MODEL_AXIS),
-            "wv": P(None, None, MODEL_AXIS),
+            "wqkv": P(None, None, MODEL_AXIS),   # column: heads split
             "q_norm": P(),
             "k_norm": P(),
             "wo": P(None, MODEL_AXIS, None),     # row: psum after
             "ln2": P(),
-            "w_gate": P(None, None, MODEL_AXIS),
-            "w_up": P(None, None, MODEL_AXIS),
+            "w_gu": P(None, None, MODEL_AXIS),
             "w_down": P(None, MODEL_AXIS, None),
         },
         "final_norm": P(),

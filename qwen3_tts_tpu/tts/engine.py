@@ -119,6 +119,33 @@ class TtsEngine:
         self._stream_fns = {}
 
     # ------------------------------------------------------------------ setup
+    def save_checkpoint(self, out_dir: str) -> None:
+        """Persist all model weights as .npz checkpoints loadable by
+        TtsEngine(model_dir=...). Assets are written as GGUF (the container
+        format the reference also uses, src/assets_manager.rs:14-26)."""
+        import numpy as np
+
+        from ..assets import gguf as gguf_mod
+
+        os.makedirs(out_dir, exist_ok=True)
+        checkpoint.save_pytree(os.path.join(out_dir, "talker.npz"),
+                               self.models["talker"])
+        checkpoint.save_pytree(os.path.join(out_dir, "predictor.npz"),
+                               self.models["predictor"])
+        checkpoint.save_pytree(os.path.join(out_dir, "vocoder.npz"),
+                               self.vocoder_params)
+        a = self.models["assets"]
+        tensors = {
+            "proj.weight": np.asarray(a.proj_weight, np.float32),
+            "proj.bias": np.asarray(a.proj_bias, np.float32),
+            "text_embd": np.asarray(a.text_table, np.float32),
+        }
+        for i in range(a.codec_tables.shape[0]):
+            tensors[f"codec_embd.{i}"] = np.asarray(a.codec_tables[i],
+                                                    np.float32)
+        gguf_mod.write_gguf(os.path.join(out_dir, "qwen3_assets.gguf"),
+                            tensors)
+
     def _load_optional_encoders(self, model_dir: str) -> None:
         """Encoders are optional: preset-speaker synthesis works without
         them; cloning raises (src/tts/engine.rs:107-120, 289-295)."""

@@ -25,9 +25,9 @@ def test_mesh_creation():
 def test_sharded_params_layout():
     m = mesh_lib.make_mesh(2, 4)
     models, voc = prun.build_sharded_models(m, CFG)
-    wq = models["talker"]["layers"]["wq"]
+    wq = models["talker"]["layers"]["wqkv"]
     # column-sharded over model axis: 4 shards on the last dim
-    assert wq.sharding.spec == sharding.decoder_param_specs()["layers"]["wq"]
+    assert wq.sharding.spec == sharding.decoder_param_specs()["layers"]["wqkv"]
     shard_shapes = {s.data.shape for s in wq.addressable_shards}
     assert shard_shapes == {(wq.shape[0], wq.shape[1], wq.shape[2] // 4)}
 

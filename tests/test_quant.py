@@ -53,7 +53,7 @@ def test_pallas_kernel_interpret_mode():
 def test_quantized_decoder_forward_close_to_dense():
     params = decoder.init_decoder(jax.random.key(0), CFG.talker)
     qparams = quant.quantize_decoder_params(params)
-    assert qparams["layers"]["wq"]["q"].dtype == jnp.int8
+    assert qparams["layers"]["wqkv"]["q"].dtype == jnp.int8
     x = 0.1 * jax.random.normal(jax.random.key(1), (1, 4, CFG.talker.hidden))
     pos = jnp.arange(4, dtype=jnp.int32)[None]
     cache = decoder.init_kv_cache(CFG.talker, 1)

@@ -94,20 +94,20 @@ def convert_llama_gguf(path: str, kind: str
         return f.read_tensor(name).astype(np.float32)
 
     layers: Dict[str, list] = {k: [] for k in (
-        "ln1", "wq", "wk", "wv", "q_norm", "k_norm", "wo", "ln2",
-        "w_gate", "w_up", "w_down")}
+        "ln1", "wqkv", "q_norm", "k_norm", "wo", "ln2", "w_gu", "w_down")}
     for i in range(L):
         p = f"blk.{i}."
         layers["ln1"].append(raw(p + "attn_norm.weight"))
-        layers["wq"].append(t(p + "attn_q.weight"))
-        layers["wk"].append(t(p + "attn_k.weight"))
-        layers["wv"].append(t(p + "attn_v.weight"))
+        # decoder runs fused projections: [in, q|k|v] and [in, gate|up]
+        layers["wqkv"].append(np.concatenate(
+            [t(p + "attn_q.weight"), t(p + "attn_k.weight"),
+             t(p + "attn_v.weight")], axis=1))
         layers["q_norm"].append(raw(p + "attn_q_norm.weight"))
         layers["k_norm"].append(raw(p + "attn_k_norm.weight"))
         layers["wo"].append(t(p + "attn_output.weight"))
         layers["ln2"].append(raw(p + "ffn_norm.weight"))
-        layers["w_gate"].append(t(p + "ffn_gate.weight"))
-        layers["w_up"].append(t(p + "ffn_up.weight"))
+        layers["w_gu"].append(np.concatenate(
+            [t(p + "ffn_gate.weight"), t(p + "ffn_up.weight")], axis=1))
         layers["w_down"].append(t(p + "ffn_down.weight"))
 
     params = {
@@ -123,18 +123,23 @@ def export_llama_gguf(path: str, cfg, params: Dict[str, Any],
     """Inverse mapping (testing + interop): our pytree -> llama.cpp names."""
     tensors: Dict[str, np.ndarray] = {}
     lw = params["layers"]
+    nq_hd = cfg.n_q_heads * cfg.head_dim
+    nk_hd = cfg.n_kv_heads * cfg.head_dim
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         tensors[p + "attn_norm.weight"] = np.asarray(lw["ln1"][i])
-        tensors[p + "attn_q.weight"] = np.asarray(lw["wq"][i]).T
-        tensors[p + "attn_k.weight"] = np.asarray(lw["wk"][i]).T
-        tensors[p + "attn_v.weight"] = np.asarray(lw["wv"][i]).T
+        wqkv = np.asarray(lw["wqkv"][i])
+        tensors[p + "attn_q.weight"] = wqkv[:, :nq_hd].T
+        tensors[p + "attn_k.weight"] = wqkv[:, nq_hd:nq_hd + nk_hd].T
+        tensors[p + "attn_v.weight"] = wqkv[:, nq_hd + nk_hd:].T
         tensors[p + "attn_q_norm.weight"] = np.asarray(lw["q_norm"][i])
         tensors[p + "attn_k_norm.weight"] = np.asarray(lw["k_norm"][i])
         tensors[p + "attn_output.weight"] = np.asarray(lw["wo"][i]).T
         tensors[p + "ffn_norm.weight"] = np.asarray(lw["ln2"][i])
-        tensors[p + "ffn_gate.weight"] = np.asarray(lw["w_gate"][i]).T
-        tensors[p + "ffn_up.weight"] = np.asarray(lw["w_up"][i]).T
+        w_gu = np.asarray(lw["w_gu"][i])
+        F = w_gu.shape[1] // 2
+        tensors[p + "ffn_gate.weight"] = w_gu[:, :F].T
+        tensors[p + "ffn_up.weight"] = w_gu[:, F:].T
         tensors[p + "ffn_down.weight"] = np.asarray(lw["w_down"][i]).T
     tensors["output_norm.weight"] = np.asarray(params["final_norm"])
     tensors["output.weight"] = np.asarray(params["head"]).T
