@@ -93,6 +93,31 @@ def main() -> int:
               f"-> median {fms:.2f} ms/frame", file=sys.stderr)
         return fms, codes
 
+    def measure_gen_batch(mdl, batch, tag, seeds=(2, 3, 4)):
+        prompt_b = 0.1 * jax.random.normal(
+            jax.random.key(9), (batch, S, cfg.talker.hidden), jnp.bfloat16)
+        pad_b = jnp.zeros((batch,), jnp.int32)
+
+        def gen(seed):
+            return generate.generate_codes(
+                mdl, cfg.talker, cfg.predictor, prompt_b, pad_b,
+                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS)
+
+        for seed in (1, 100):
+            jax.block_until_ready(gen(seed))
+        samples = []
+        for seed in seeds:
+            t0 = time.perf_counter()
+            codes, n_frames = gen(seed)
+            n = int(jax.device_get(jnp.max(n_frames)))
+            samples.append((time.perf_counter() - t0, max(n, 1)))
+        med_t, med_n = sorted(samples)[len(samples) // 2]
+        fms = 1e3 * med_t / med_n
+        print(f"[{tag}] {[(round(t,3), n) for t, n in samples]} "
+              f"-> median {fms:.2f} ms/frame-step ({batch} streams)",
+              file=sys.stderr)
+        return fms
+
     frame_ms_bf16, codes = measure_gen(models, "bf16")
 
     # int8 weights (per-channel scales, Pallas fused dequant-matmul): halves
@@ -105,6 +130,11 @@ def main() -> int:
     jax.block_until_ready(models_q)
     frame_ms_int8, _ = measure_gen(models_q, "int8")
     frame_ms = min(frame_ms_bf16, frame_ms_int8)
+
+    # DP throughput: 8 concurrent streams on one chip (weights amortised)
+    B_TP = 8
+    frame_ms_b8 = measure_gen_batch(
+        models_q if frame_ms_int8 <= frame_ms_bf16 else models, B_TP, "batch8")
 
     # vocoder: fused decode of the full code matrix, fresh codes per call
     for seed in (50, 51):   # compile + warmup
@@ -129,6 +159,7 @@ def main() -> int:
     frame_audio_s = P.FRAME_SAMPLES / P.SAMPLE_RATE      # 1/12 s
     rtf = (frame_ms + voc_frame_ms) / 1e3 / frame_audio_s
     audio_per_s = 1.0 / rtf
+    throughput_b8 = B_TP * frame_audio_s / ((frame_ms_b8 + voc_frame_ms) / 1e3)
     # first chunk = prefill(amortised in while_loop) + 4 frames + 4-frame vocode
     first_chunk_ms = 4 * (frame_ms + voc_frame_ms)
 
@@ -147,6 +178,8 @@ def main() -> int:
             "vocoder_frame_ms": round(voc_frame_ms, 3),
             "first_chunk_ms_est": round(first_chunk_ms, 1),
             "audio_seconds_per_s_per_chip": round(audio_per_s, 2),
+            "audio_seconds_per_s_per_chip_batch8": round(throughput_b8, 2),
+            "frame_ms_batch8_step": round(frame_ms_b8, 3),
             "n_steps": N_STEPS,
             "device": str(dev),
         },

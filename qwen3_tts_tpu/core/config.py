@@ -41,6 +41,8 @@ class TalkerConfig:
     # sections stay configurable for checkpoints that ship real metadata.
     mrope_sections: Tuple[int, int, int, int] = (24, 20, 20, 0)
     dtype: str = "bfloat16"
+    # layer-scan unroll factor (measured slower >1 on v5e; kept as a knob)
+    scan_unroll: int = 1
 
     def __post_init__(self):
         assert sum(self.mrope_sections) == self.head_dim // 2, (
@@ -71,6 +73,8 @@ class PredictorConfig:
     # all rotary freqs on the temporal stream.
     mrope_sections: Tuple[int, int, int, int] = (64, 0, 0, 0)
     dtype: str = "bfloat16"
+    # layer-scan unroll factor (measured slower >1 on v5e; kept as a knob)
+    scan_unroll: int = 1
 
     def __post_init__(self):
         assert sum(self.mrope_sections) == self.head_dim // 2

@@ -177,10 +177,12 @@ def forward(
         return (h, k_all, v_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    unroll = max(1, min(getattr(cfg, "scan_unroll", 1), cfg.n_layers))
     (h, new_k, new_v), _ = jax.lax.scan(
         layer_step,
         (x.astype(jnp.dtype(cfg.dtype)), cache["k"], cache["v"]),
         (params["layers"], layer_ids),
+        unroll=unroll,
     )
     new_cache = {"k": new_k, "v": new_v}
 
