@@ -153,18 +153,20 @@ def forward(
         k = rope.apply_rope(k, cos, sin)
         k_all = _write_layer_cache(k_all, k, layer_idx, starts)
         v_all = _write_layer_cache(v_all, v, layer_idx, starts)
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0,
-                                               keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0,
-                                               keepdims=False)
         if use_flash:
+            # stacked-cache kernel: no per-layer slice is materialised; HBM
+            # reads cover only ceil(kv_len / BLK) blocks
             valid_from = (kv_valid_from if kv_valid_from is not None
                           else jnp.zeros((B,), jnp.int32))
-            attn = flash_decode.decode_attention(
-                q[:, 0], k_cache, v_cache,
+            attn = flash_decode.decode_attention_stacked(
+                q[:, 0], k_all, v_all, layer_idx,
                 jnp.broadcast_to(kv_len, (B,)), valid_from,
             )[:, None]
         else:
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0,
+                                                   keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0,
+                                                   keepdims=False)
             attn = attention.gqa_attention(
                 q, k_cache, v_cache, cache_len, kv_len, kv_valid_from
             )

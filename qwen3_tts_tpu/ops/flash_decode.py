@@ -25,9 +25,13 @@ BLK = 256          # cache slots per DMA block
 NEG_INF = -1e30
 
 
-def _kernel(kv_len_ref, valid_from_ref, q_ref, out_ref, k_hbm, v_hbm,
-            k_buf, v_buf, acc_ref, m_ref, l_ref, sem_k, sem_v):
-    """Grid cell (b, h): attend q[b, h-group] over k/v[b, :, h]."""
+def _kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, out_ref,
+            k_hbm, v_hbm, k_buf, v_buf, acc_ref, m_ref, l_ref, sem_k, sem_v):
+    """Grid cell (b, h): attend q[b, h-group] over k/v[layer, b, h, :].
+
+    The cache stays STACKED [L, B, nk, T, hd] in HBM and the layer index is
+    scalar-prefetched — no per-layer slice is ever materialised.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -35,6 +39,7 @@ def _kernel(kv_len_ref, valid_from_ref, q_ref, out_ref, k_hbm, v_hbm,
     h = pl.program_id(1)
     g_pad, hd = q_ref.shape
 
+    layer = layer_ref[0]
     kv_len = kv_len_ref[b]
     valid_from = valid_from_ref[b]
     # >= 1 so the warm-up DMA is always awaited (kv_len >= 1 during decode:
@@ -43,12 +48,12 @@ def _kernel(kv_len_ref, valid_from_ref, q_ref, out_ref, k_hbm, v_hbm,
 
     def k_dma(slot, blk_idx):
         return pltpu.make_async_copy(
-            k_hbm.at[b, h, pl.ds(blk_idx * BLK, BLK), :],
+            k_hbm.at[layer, b, h, pl.ds(blk_idx * BLK, BLK), :],
             k_buf.at[slot], sem_k.at[slot])
 
     def v_dma(slot, blk_idx):
         return pltpu.make_async_copy(
-            v_hbm.at[b, h, pl.ds(blk_idx * BLK, BLK), :],
+            v_hbm.at[layer, b, h, pl.ds(blk_idx * BLK, BLK), :],
             v_buf.at[slot], sem_v.at[slot])
 
     # warm up the pipeline
@@ -102,10 +107,11 @@ def _kernel(kv_len_ref, valid_from_ref, q_ref, out_ref, k_hbm, v_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_attention(
+def decode_attention_stacked(
     q: jax.Array,            # [B, nq, hd] single-position queries
-    k: jax.Array,            # [B, nk, T, hd] cache (HBM, head-major)
-    v: jax.Array,
+    k_all: jax.Array,        # [L, B, nk, T, hd] STACKED cache (HBM)
+    v_all: jax.Array,
+    layer: jax.Array,        # scalar int32 layer index
     kv_len: jax.Array,       # [B] valid entries (including the new token)
     kv_valid_from: jax.Array,  # [B] first valid slot (left-pad offset)
     *,
@@ -116,7 +122,7 @@ def decode_attention(
     from jax.experimental.pallas import tpu as pltpu
 
     B, nq, hd = q.shape
-    nk, T = k.shape[1], k.shape[2]
+    nk, T = k_all.shape[2], k_all.shape[3]
     g = nq // nk
     g_pad = max(8, g)        # f32 sublane minimum
 
@@ -125,11 +131,12 @@ def decode_attention(
     if g_pad != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
 
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(B)
     valid_from = jnp.asarray(kv_valid_from, jnp.int32).reshape(B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,           # kv_len, valid_from
+        num_scalar_prefetch=3,           # layer, kv_len, valid_from
         grid=(B, nk),
         in_specs=[
             pl.BlockSpec((1, 1, g_pad, hd), lambda b, h, *_: (b, h, 0, 0),
@@ -140,8 +147,8 @@ def decode_attention(
         out_specs=pl.BlockSpec((1, 1, g_pad, hd), lambda b, h, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BLK, hd), k.dtype),   # cache dtype: bf16 stays bf16
-            pltpu.VMEM((2, BLK, hd), v.dtype),
+            pltpu.VMEM((2, BLK, hd), k_all.dtype),  # cache dtype preserved
+            pltpu.VMEM((2, BLK, hd), v_all.dtype),
             pltpu.VMEM((g_pad, hd), jnp.float32),
             pltpu.VMEM((g_pad, 1), jnp.float32),
             pltpu.VMEM((g_pad, 1), jnp.float32),
@@ -150,9 +157,9 @@ def decode_attention(
         ],
     )
 
-    def kernel(kv_len_ref, valid_from_ref, q_ref, k_hbm, v_hbm, out_ref,
-               k_buf, v_buf, acc, m, l, sem_k, sem_v):
-        _kernel(kv_len_ref, valid_from_ref,
+    def kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, k_hbm, v_hbm,
+               out_ref, k_buf, v_buf, acc, m, l, sem_k, sem_v):
+        _kernel(layer_ref, kv_len_ref, valid_from_ref,
                 q_ref.at[0, 0], out_ref.at[0, 0], k_hbm, v_hbm,
                 k_buf, v_buf, acc, m, l, sem_k, sem_v)
 
@@ -162,8 +169,15 @@ def decode_attention(
         out_shape=jax.ShapeDtypeStruct((B, nk, g_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(kv_len, valid_from, qg.astype(q.dtype), k, v)
+    )(layer, kv_len, valid_from, qg.astype(q.dtype), k_all, v_all)
     return out[:, :, :g].reshape(B, nq, hd)
+
+
+def decode_attention(q, k, v, kv_len, kv_valid_from, *, interpret=False):
+    """Single-layer convenience wrapper: cache [B, nk, T, hd]."""
+    return decode_attention_stacked(
+        q, k[None], v[None], jnp.int32(0), kv_len, kv_valid_from,
+        interpret=interpret)
 
 
 def usable(cfg, cache_dtype=None) -> bool:

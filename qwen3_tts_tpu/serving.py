@@ -44,6 +44,7 @@ class _Stream:
     frames: int = 0
     done: bool = False
     result: Optional[AudioSample] = None
+    error: Optional[str] = None
 
 
 class ServingEngine:
@@ -99,7 +100,16 @@ class ServingEngine:
         if self._state is None:
             self._state = self._blank_state()
 
-        data = self.engine._prompt_for_voice(text, voice, instruct)
+        try:
+            data = self.engine._prompt_for_voice(text, voice, instruct)
+        except Exception as e:   # bad voice/text must not poison the batch
+            self.slots.release(slot)
+            s = _Stream(stream_id=sid, slot=-1, on_chunk=on_chunk,
+                        done=True, error=f"prompt build failed: {e}")
+            s.result = AudioSample(samples=np.zeros(0, np.float32),
+                                   sample_rate=P.SAMPLE_RATE, channels=1)
+            self.streams[sid] = s
+            return sid
         batch1, offs1 = prompt.pad_batch([data.embeds])
         key = self.engine._seed_key()
         sc = self.engine.sampler_config

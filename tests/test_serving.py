@@ -87,3 +87,30 @@ def test_slot_reuse_many_streams(engine):
     for sid in ids:
         r = srv.result(sid)
         assert r is not None and len(r.samples) > 0
+
+
+def test_failed_submission_does_not_poison_batch(engine):
+    """A stream whose prompt build fails is reported failed and its slot is
+    recycled; other streams are unaffected."""
+
+    class BadVoice:
+        audio_codes = []
+        ref_text = ""
+
+        @property
+        def spk_emb(self):
+            raise ValueError("corrupt embedding")
+
+    srv = ServingEngine(engine, max_streams=1)
+    bad = srv.submit("x", BadVoice())
+    assert bad is not None
+    s = srv.streams[bad]
+    assert s.done and s.error is not None
+    assert srv.slots.active() == 0          # slot recycled immediately
+
+    voice = engine.get_speaker("vivian")
+    good = srv.submit("recovered", voice)
+    assert good is not None
+    srv.run_until_drained()
+    assert srv.result(good) is not None
+    assert len(srv.result(good).samples) > 0
