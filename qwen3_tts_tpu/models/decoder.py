@@ -132,8 +132,11 @@ def forward(
     starts = jnp.broadcast_to(cache_len.reshape(-1), (B,))
     kv_len = cache_len + S
     # Single-token decode on TPU can use the Pallas flash-decode kernel: HBM
-    # traffic scales with the valid cache prefix instead of max_seq.
-    use_flash = S == 1 and flash_decode.usable(cfg)
+    # traffic scales with the valid cache prefix instead of max_seq. The
+    # (B, n_kv) grid runs serially on the single v5e TensorCore, so large
+    # batches are faster through the dense XLA path (measured: B=8 flash is
+    # ~26x slower than dense); keep the kernel for latency-bound small B.
+    use_flash = S == 1 and B <= 2 and flash_decode.usable(cfg)
 
     pos4 = rope.mrope_positions(positions)
     cos, sin = rope.rope_angles(pos4, cfg.mrope_sections, hd, cfg.rope_theta)

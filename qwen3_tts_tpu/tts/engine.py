@@ -360,8 +360,13 @@ class TtsEngine:
 
         state = prefill_fn(self.models, batch, offsets, self._seed_key(),
                            sc.temperature, sc.top_p)
-        vstate = vocoder.init_state(cfg.vocoder, 1)
-        pieces: List[np.ndarray] = []
+        # vocoding runs on a worker thread (the TPU analog of the reference's
+        # decoder thread, src/tts/engine.rs:487-543): generation keeps
+        # dispatching while chunks vocode/convert/callback concurrently
+        from ..parallel.pipeline import VocoderPipeline
+
+        pipe = VocoderPipeline(self.vocoder_params, cfg.vocoder, batch=1,
+                               on_chunk=on_chunk)
         steps = 0
         while steps < self.max_steps:
             state, codes, active = step_fn(self.models, state)
@@ -369,18 +374,10 @@ class TtsEngine:
             active = np.asarray(active)[0]          # [chunk]
             n_new = int(active.sum())
             if n_new > 0:
-                chunk = jnp.asarray(np.asarray(codes)[:, :n_new])
-                done = bool(np.asarray(state["done"])[0]) or steps >= self.max_steps
-                wav, valid, vstate = vocoder.decode(
-                    self.vocoder_params, cfg.vocoder, chunk, vstate, done)
-                piece = np.asarray(wav)[0, : int(valid[0])]
-                pieces.append(piece)
-                if on_chunk is not None:
-                    on_chunk(piece)
+                pipe.submit(np.asarray(codes)[:, :n_new])
             if bool(np.asarray(state["done"])[0]):
                 break
-        samples = (np.concatenate(pieces) if pieces
-                   else np.zeros(0, np.float32))
+        samples = pipe.close()
         return AudioSample(samples=samples, sample_rate=P.SAMPLE_RATE,
                            channels=1)
 
