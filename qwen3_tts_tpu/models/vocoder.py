@@ -200,6 +200,9 @@ def decode(
     """
     del is_last  # causal design: nothing held back to flush
     B, N, Q = codes.shape
+    if Q != cfg.num_codebooks:
+        raise ValueError(
+            f"codes must have {cfg.num_codebooks} codebooks, got {Q}")
     codes = jnp.clip(codes, 0, cfg.code_vocab - 1)
 
     # 1. codebook embedding sum -> [B, N, embed_dim]
