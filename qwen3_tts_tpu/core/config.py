@@ -109,7 +109,8 @@ class VocoderConfig:
     hop: int = 250
     n_fft: int = 1000
     frame_samples: int = protocol.FRAME_SAMPLES
-    max_frames: int = 512       # KV-cache capacity carried in streaming state
+    max_frames: int = 1024      # KV capacity in streaming state (covers the
+                                # long-text max-steps=1024 config)
     rms_eps: float = 1e-6
     dtype: str = "float32"
 

@@ -26,7 +26,7 @@ The KV cache is {"k","v": [L, B, n_kv, T, hd]} plus an external scalar-or-[B]
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,21 +79,29 @@ def init_kv_cache(cfg: Config, batch: int, dtype=None) -> Dict[str, jax.Array]:
 
 
 def _write_layer_cache(cache_all: jax.Array, new: jax.Array, layer: jax.Array,
-                       starts: jax.Array) -> jax.Array:
+                       start: jax.Array) -> jax.Array:
     """In-place token write into the stacked cache.
 
     cache_all [L, B, nk, T, hd]; new [B, S, nk, hd] written at
-    (layer, b, :, starts[b]:starts[b]+S, :). Single dynamic_update_slice per
-    row so the scan carry aliases in place instead of copying per layer.
+    (layer, b, :, start[b]:start[b]+S, :). A scalar `start` (all rows at the
+    same position — the normal generation loop) takes one
+    dynamic_update_slice; per-row starts (continuous batching) go through a
+    vmapped write, which lowers to a scatter.
     """
     new_t = jnp.swapaxes(new, 1, 2)                      # [B, nk, S, hd]
+    start = jnp.asarray(start, jnp.int32)
+    if start.ndim == 0:
+        zero = jnp.int32(0)
+        return jax.lax.dynamic_update_slice(
+            cache_all, new_t[None].astype(cache_all.dtype),
+            (layer, zero, zero, start, zero))
 
     def one(cab, nb, s):                                 # cab [L, nk, T, hd]
         return jax.lax.dynamic_update_slice(
             cab, nb[None].astype(cab.dtype),
             (layer, jnp.int32(0), s, jnp.int32(0)))
 
-    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache_all, new_t, starts)
+    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache_all, new_t, start)
 
 
 def head_logits(params: DecoderParams, h: jax.Array,
@@ -129,7 +137,6 @@ def forward(
     B, S, H = x.shape
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
     cache_len = jnp.asarray(cache_len, jnp.int32)
-    starts = jnp.broadcast_to(cache_len.reshape(-1), (B,))
     kv_len = cache_len + S
     # Single-token decode on TPU can use the Pallas flash-decode kernel: HBM
     # traffic scales with the valid cache prefix instead of max_seq. The
@@ -154,8 +161,8 @@ def forward(
         k = rms_norm(k, lw["k_norm"], cfg.rms_eps)
         q = rope.apply_rope(q, cos, sin)
         k = rope.apply_rope(k, cos, sin)
-        k_all = _write_layer_cache(k_all, k, layer_idx, starts)
-        v_all = _write_layer_cache(v_all, v, layer_idx, starts)
+        k_all = _write_layer_cache(k_all, k, layer_idx, cache_len)
+        v_all = _write_layer_cache(v_all, v, layer_idx, cache_len)
         if use_flash:
             # stacked-cache kernel: no per-layer slice is materialised; HBM
             # reads cover only ceil(kv_len / BLK) blocks

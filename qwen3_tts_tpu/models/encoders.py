@@ -19,14 +19,13 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..assets import checkpoint
-from ..core import protocol as P
 from ..core.config import AudioEncoderConfig, EngineConfig, MelConfig, SpeakerEncoderConfig
 from . import mel as mel_mod
 from .decoder import rms_norm

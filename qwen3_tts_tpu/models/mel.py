@@ -14,7 +14,6 @@ STFT is a gather + rfft, one fused XLA program.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ greedy over `logits[(q-1)*2048 : q*2048]` minus the offset
 
 from __future__ import annotations
 
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,12 +13,10 @@ is the single matmul entry point used by the decoder stacks.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Weight = Union[jax.Array, Dict[str, jax.Array]]
 

@@ -6,12 +6,11 @@ Used by tests (8 virtual CPU devices), by `__graft_entry__.dryrun_multichip`
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from ..assets import tables
 from ..core.config import EngineConfig, PredictorConfig, TalkerConfig, VocoderConfig

@@ -41,7 +41,7 @@ from ..utils.tokenizer import load_tokenizer
 from ..utils.voice_file import VoiceFile
 from . import generate, prompt
 
-_VOCODER_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+_VOCODER_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
 
 
 def _bucket(n: int) -> int:
@@ -305,10 +305,14 @@ class TtsEngine:
         cfg = self.config
         sc = self.sampler_config
         batch, offsets = prompt.pad_batch([d.embeds for d in datas])
+        # cap generation at the talker context (reference n_ctx=4096,
+        # src/tts/engine.rs:133): prompt slots + frames must fit the cache
+        room = cfg.talker.max_seq - int(batch.shape[1])
+        steps = min(self.max_steps, max(room, 1), cfg.vocoder.max_frames)
         codes, n_frames = generate.generate_codes(
             self.models, cfg.talker, cfg.predictor, batch, offsets,
             self._seed_key(), sc.temperature, sc.top_k, sc.top_p,
-            self.max_steps,
+            steps,
         )
         codes = np.asarray(codes)
         n_frames = np.asarray(n_frames)
