@@ -48,14 +48,10 @@ def frame_codes(
     row_logits = decoder.head_logits(
         params, h[:, -1], jnp.int32(0), protocol.CODE_VOCAB)  # [B, 2048]
 
-    codes0 = jnp.zeros((B, protocol.NUM_CODEBOOKS), jnp.int32)
-    codes0 = codes0.at[:, 0].set(code_0)
-
     def step(carry, q):
-        cache, row_logits, codes = carry
+        cache, row_logits = carry
         # greedy over head slice [(q-1)*2048, q*2048), offset removed
         code_q = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
-        codes = codes.at[:, q].set(code_q)
         # feed codec_emb_1024(q, code_q) at position q+1. The reference skips
         # the decode after q=15; running it uniformly inside scan is free of
         # host syncs and its output is simply unused.
@@ -67,8 +63,10 @@ def frame_codes(
         )
         row_logits = decoder.head_logits(
             params, h[:, -1], q * protocol.CODE_VOCAB, protocol.CODE_VOCAB)
-        return (cache, row_logits, codes), None
+        return (cache, row_logits), code_q
 
     qs = jnp.arange(1, protocol.NUM_CODEBOOKS, dtype=jnp.int32)
-    (cache, _, codes), _ = jax.lax.scan(step, (cache, row_logits, codes0), qs)
-    return codes
+    # codes come back as stacked scan outputs — no per-step scatter
+    (cache, _), codes_rest = jax.lax.scan(step, (cache, row_logits), qs)
+    return jnp.concatenate(
+        [code_0[:, None], jnp.moveaxis(codes_rest, 0, 1)], axis=1)

@@ -167,10 +167,19 @@ def build_custom_prompt(
     )
 
 
-def pad_batch(prompts: Sequence[jax.Array]):
+PROMPT_BUCKET = 64
+
+
+def pad_batch(prompts: Sequence[jax.Array], bucket: int = PROMPT_BUCKET):
     """LEFT-pad a ragged list of [S_i, dim] prompts to one [B, S_max, dim]
-    batch + pad offsets [B] (consumed by talker.prefill's kv_valid_from)."""
-    s_max = max(int(p.shape[0]) for p in prompts)
+    batch + pad offsets [B] (consumed by talker.prefill's kv_valid_from).
+
+    S_max rounds up to a multiple of `bucket`, so prompts of similar length
+    share one compiled prefill/generation program instead of recompiling the
+    fused while_loop for every distinct text length (pad slots are fully
+    masked, so results are invariant — tested)."""
+    s_raw = max(int(p.shape[0]) for p in prompts)
+    s_max = ((s_raw + bucket - 1) // bucket) * bucket if bucket > 1 else s_raw
     dim = int(prompts[0].shape[1])
     out = np.zeros((len(prompts), s_max, dim), np.float32)
     offs = np.zeros((len(prompts),), np.int32)

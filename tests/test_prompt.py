@@ -119,8 +119,21 @@ def test_clone_prompt_matches_oracle(assets):
 def test_pad_batch_left_pads(assets):
     a = jnp.ones((3, 64))
     b = jnp.full((5, 64), 2.0)
-    batch, offs = prompt.pad_batch([a, b])
+    batch, offs = prompt.pad_batch([a, b], bucket=1)
     assert batch.shape == (2, 5, 64)
     assert offs.tolist() == [2, 0]
     assert np.all(np.asarray(batch[0, :2]) == 0)
     assert np.all(np.asarray(batch[0, 2:]) == 1)
+
+
+def test_pad_batch_buckets_lengths(assets):
+    """Lengths round up to the bucket so nearby prompt lengths share one
+    compiled program; pads stay left and fully masked via offsets."""
+    a = jnp.ones((3, 8))
+    batch, offs = prompt.pad_batch([a], bucket=64)
+    assert batch.shape == (1, 64, 8)
+    assert offs.tolist() == [61]
+    b = jnp.ones((70, 8))
+    batch2, offs2 = prompt.pad_batch([b], bucket=64)
+    assert batch2.shape == (1, 128, 8)
+    assert offs2.tolist() == [58]
