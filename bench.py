@@ -64,7 +64,12 @@ def main() -> int:
         jax.random.key(9), (B, S, cfg.talker.hidden), jnp.bfloat16)
     pad = jnp.zeros((B,), jnp.int32)
 
-    def measure_gen(mdl, tag, seeds=(2, 3, 4, 5)):
+    # every seed is process-unique: the relay can serve repeated identical
+    # computations from cache WITHOUT touching the chip, which would push the
+    # real chip-claim stall into the first timed call instead of the warmup
+    seed_base = (int(time.time()) % 1_000_000) * 100
+
+    def measure_gen(mdl, tag, seed_off=0):
         def gen(seed):
             return generate.generate_codes(
                 mdl, cfg.talker, cfg.predictor, prompt, pad,
@@ -73,11 +78,12 @@ def main() -> int:
         # warmup / compile (two rounds: remote compile can finish lazily, so
         # the first post-compile dispatch may still absorb straggler work)
         t0 = time.perf_counter()
-        for seed in (1, 100):
-            out = gen(seed)
+        for i in (0, 1):
+            out = gen(seed_base + seed_off + i)
             jax.block_until_ready(out)
         print(f"[{tag}] compile+warmup: {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
+        seeds = [seed_base + seed_off + 2 + i for i in range(4)]
         # timed: fresh keys per dispatch (defeats relay-level dedup); median
         # rejects stragglers
         samples = []
@@ -93,7 +99,7 @@ def main() -> int:
               f"-> median {fms:.2f} ms/frame", file=sys.stderr)
         return fms, codes
 
-    def measure_gen_batch(mdl, batch, tag, seeds=(2, 3, 4)):
+    def measure_gen_batch(mdl, batch, tag, seed_off=50):
         prompt_b = 0.1 * jax.random.normal(
             jax.random.key(9), (batch, S, cfg.talker.hidden), jnp.bfloat16)
         pad_b = jnp.zeros((batch,), jnp.int32)
@@ -103,8 +109,9 @@ def main() -> int:
                 mdl, cfg.talker, cfg.predictor, prompt_b, pad_b,
                 jax.random.key(seed), 0.7, 40, 0.9, N_STEPS)
 
-        for seed in (1, 100):
-            jax.block_until_ready(gen(seed))
+        for i in (0, 1):
+            jax.block_until_ready(gen(seed_base + seed_off + i))
+        seeds = [seed_base + seed_off + 2 + i for i in range(3)]
         samples = []
         for seed in seeds:
             t0 = time.perf_counter()
@@ -132,14 +139,14 @@ def main() -> int:
     frame_ms = frame_ms_int8
 
     # vocoder: fused decode of the full code matrix, fresh codes per call
-    for seed in (50, 51):   # compile + warmup
+    for seed in (seed_base + 80, seed_base + 81):   # compile + warmup
         rnd = jax.random.randint(jax.random.key(seed),
                                  (B, N_STEPS, 16), 0, 2048, jnp.int32)
         wav, _, _ = vocoder.decode(voc_params, cfg.vocoder, rnd,
                                    vocoder.init_state(cfg.vocoder, B), True)
         jax.block_until_ready(wav)
     voc_times = []
-    for seed in (5, 6, 7):
+    for seed in (seed_base + 82, seed_base + 83, seed_base + 84):
         rnd = jax.random.randint(jax.random.key(seed),
                                  (B, N_STEPS, 16), 0, 2048, jnp.int32)
         t0 = time.perf_counter()
@@ -177,7 +184,7 @@ def main() -> int:
 
     # --- supplementary (stderr): bf16 single-stream + batch-8 throughput ---
     try:
-        frame_ms_bf16, _ = measure_gen(models, "bf16")
+        frame_ms_bf16, _ = measure_gen(models, "bf16", seed_off=20)
         B_TP = 8
         frame_ms_b8 = measure_gen_batch(models_q, B_TP, "batch8")
         throughput_b8 = (B_TP * frame_audio_s
