@@ -160,6 +160,35 @@ class TtsEngine:
     def set_max_steps(self, steps: int) -> None:
         self.max_steps = int(steps)
 
+    def warmup(self, prompt_buckets: Sequence[int] = (64,),
+               batch_sizes: Sequence[int] = (1,)) -> None:
+        """Precompile the generation + vocoder programs for the given prompt
+        buckets (see prompt.PROMPT_BUCKET) and batch sizes, so the first real
+        request doesn't pay compile latency (~10-20 s on TPU)."""
+        cfg = self.config
+        dim = int(self.models["assets"].text_table.shape[1])
+        for b in batch_sizes:
+            for s in prompt_buckets:
+                fake = [jnp.zeros((s, dim)) for _ in range(b)]
+                batch, offsets = prompt.pad_batch(fake)
+                room = cfg.talker.max_seq - int(batch.shape[1])
+                steps = min(self.max_steps, max(room, 1),
+                            cfg.vocoder.max_frames)
+                sc = self.sampler_config
+                codes, n = generate.generate_codes(
+                    self.models, cfg.talker, cfg.predictor, batch, offsets,
+                    jax.random.key(0), sc.temperature, sc.top_k, sc.top_p,
+                    steps)
+                jax.block_until_ready((codes, n))
+        # vocoder buckets for typical utterance lengths
+        for b in batch_sizes:
+            state = vocoder.init_state(cfg.vocoder, b)
+            wav, _, _ = vocoder.decode(
+                self.vocoder_params, cfg.vocoder,
+                jnp.zeros((b, _bucket(1), P.NUM_CODEBOOKS), jnp.int32),
+                state, True)
+            jax.block_until_ready(wav)
+
     def set_sampler_config(self, config: SamplerConfig) -> None:
         self.sampler_config = config
 
