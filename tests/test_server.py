@@ -1,0 +1,97 @@
+"""HTTP serving daemon: health/speakers/tts endpoints, concurrent requests,
+streaming transfer, error paths — via a real socket."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+from http.server import ThreadingHTTPServer
+
+from qwen3_tts_tpu import SamplerConfig, TtsEngine, tiny_engine_config
+from qwen3_tts_tpu import server as server_mod
+
+CFG = tiny_engine_config(max_steps=6)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    sdir = tmp_path_factory.mktemp("speakers")
+    emb = np.random.default_rng(0).normal(size=64).astype(np.float32)
+    (sdir / "vivian.json").write_text(json.dumps(
+        {"name": "vivian", "spk_emb": emb.tolist()}))
+    engine = TtsEngine(config=CFG, random_weights=True, seed=0,
+                       speakers_dir=str(sdir))
+    engine.set_sampler_config(SamplerConfig(temperature=0.0, top_k=0,
+                                            top_p=1.0, seed=1))
+    srv = server_mod.TtsServer(engine, max_streams=2)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                server_mod.make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+    srv.shutdown()
+
+
+def _req(port, method, path, body=None):
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    c.request(method, path,
+              body=json.dumps(body) if body is not None else None)
+    r = c.getresponse()
+    data = r.read()
+    c.close()
+    return r.status, r.getheader("Content-Type"), data
+
+
+def test_health(served):
+    status, ctype, data = _req(served, "GET", "/health")
+    assert status == 200
+    assert json.loads(data)["status"] == "ok"
+
+
+def test_speakers(served):
+    status, _, data = _req(served, "GET", "/speakers")
+    assert json.loads(data)["speakers"] == ["vivian"]
+
+
+def test_tts_roundtrip(served):
+    status, ctype, data = _req(served, "POST", "/tts",
+                               {"text": "hello server"})
+    assert status == 200 and ctype == "audio/wav"
+    assert data[:4] == b"RIFF"
+    n_samples = (len(data) - 44) // 2
+    assert n_samples > 0 and n_samples % 2000 == 0
+
+
+def test_concurrent_requests(served):
+    results = {}
+
+    def hit(i):
+        results[i] = _req(served, "POST", "/tts", {"text": f"req {i}"})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 3
+    for status, ctype, data in results.values():
+        assert status == 200 and data[:4] == b"RIFF"
+
+
+def test_streaming_response(served):
+    status, ctype, data = _req(served, "POST", "/tts",
+                               {"text": "stream me", "stream": True})
+    assert status == 200 and ctype == "audio/wav"
+    assert data[:4] == b"RIFF"
+    assert len(data) > 44          # header + at least one chunk
+
+
+def test_bad_request(served):
+    status, _, data = _req(served, "POST", "/tts", {"no_text": 1})
+    assert status == 400
+    status, _, _ = _req(served, "GET", "/nope")
+    assert status == 404
