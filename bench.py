@@ -26,7 +26,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 N_STEPS = 64          # frames per timed generation (~5.3 s of audio)
 

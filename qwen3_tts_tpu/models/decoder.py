@@ -138,12 +138,11 @@ def forward(
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
     cache_len = jnp.asarray(cache_len, jnp.int32)
     kv_len = cache_len + S
-    # Single-token decode on TPU can use the Pallas flash-decode kernel: HBM
-    # traffic scales with the valid cache prefix instead of max_seq. The
-    # (B, n_kv) grid runs serially on the single v5e TensorCore, so large
-    # batches are faster through the dense XLA path (measured: B=8 flash is
-    # ~26x slower than dense); keep the kernel for latency-bound small B.
-    use_flash = S == 1 and B <= 2 and flash_decode.usable(cfg)
+    # Single-token decode on TPU uses the Pallas flash-decode kernel: HBM
+    # traffic scales with the valid cache prefix instead of max_seq, and the
+    # pre-update-cache formulation avoids read-after-write copies of the
+    # carried cache at any batch size.
+    use_flash = S == 1 and flash_decode.usable(cfg)
 
     pos4 = rope.mrope_positions(positions)
     cos, sin = rope.rope_angles(pos4, cfg.mrope_sections, hd, cfg.rope_theta)
@@ -161,18 +160,23 @@ def forward(
         k = rms_norm(k, lw["k_norm"], cfg.rms_eps)
         q = rope.apply_rope(q, cos, sin)
         k = rope.apply_rope(k, cos, sin)
-        k_all = _write_layer_cache(k_all, k, layer_idx, cache_len)
-        v_all = _write_layer_cache(v_all, v, layer_idx, cache_len)
         if use_flash:
-            # stacked-cache kernel: no per-layer slice is materialised; HBM
-            # reads cover only ceil(kv_len / BLK) blocks
+            # stacked-cache kernel over the PRE-update cache: the current
+            # token's k/v go straight into VMEM, so the cache write below
+            # has no read-after-write hazard and never forces a copy of the
+            # carried buffers; HBM reads cover only ceil(cache_len/BLK)
+            # blocks of the valid prefix.
             valid_from = (kv_valid_from if kv_valid_from is not None
                           else jnp.zeros((B,), jnp.int32))
             attn = flash_decode.decode_attention_stacked(
-                q[:, 0], k_all, v_all, layer_idx,
-                jnp.broadcast_to(kv_len, (B,)), valid_from,
+                q[:, 0], k_all, v_all, k[:, 0], v[:, 0], layer_idx,
+                jnp.broadcast_to(cache_len, (B,)), valid_from,
             )[:, None]
+            k_all = _write_layer_cache(k_all, k, layer_idx, cache_len)
+            v_all = _write_layer_cache(v_all, v, layer_idx, cache_len)
         else:
+            k_all = _write_layer_cache(k_all, k, layer_idx, cache_len)
+            v_all = _write_layer_cache(v_all, v, layer_idx, cache_len)
             k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0,
                                                    keepdims=False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0,

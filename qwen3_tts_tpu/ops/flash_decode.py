@@ -25,12 +25,17 @@ BLK = 256          # cache slots per DMA block
 NEG_INF = -1e30
 
 
-def _kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, out_ref,
-            k_hbm, v_hbm, k_buf, v_buf, acc_ref, m_ref, l_ref, sem_k, sem_v):
-    """Grid cell (b, h): attend q[b, h-group] over k/v[layer, b, h, :].
+def _kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, k_new_ref,
+            v_new_ref, out_ref, k_hbm, v_hbm, k_buf, v_buf,
+            acc_ref, m_ref, l_ref, sem_k, sem_v):
+    """Grid cell (b, h): attend q[b, h-group] over k/v[layer, b, h, :kv_len)
+    PLUS the current step's own key/value passed directly in VMEM.
 
-    The cache stays STACKED [L, B, nk, T, hd] in HBM and the layer index is
-    scalar-prefetched — no per-layer slice is ever materialised.
+    The cache stays STACKED [L, B, nk, T, hd] in HBM with the layer index
+    scalar-prefetched, and — critically — the kernel reads the PRE-update
+    cache: the same-step token arrives via `k_new/v_new`, so the cache write
+    has no read-after-write hazard against this kernel and XLA never copies
+    the carried cache buffers.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -40,10 +45,10 @@ def _kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, out_ref,
     g_pad, hd = q_ref.shape
 
     layer = layer_ref[0]
-    kv_len = kv_len_ref[b]
-    valid_from = valid_from_ref[b]
-    # >= 1 so the warm-up DMA is always awaited (kv_len >= 1 during decode:
-    # the new token is written before attention)
+    kv_len = kv_len_ref[b]          # tokens already in the cache (EXCLUDES
+    valid_from = valid_from_ref[b]  # the current step's token)
+    # >= 1 so the warm-up DMA is always awaited (an empty cache is fully
+    # masked; the explicit-p masking keeps it exact)
     n_blocks = jnp.maximum(pl.cdiv(kv_len, BLK), 1)
 
     def k_dma(slot, blk_idx):
@@ -103,16 +108,32 @@ def _kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, out_ref,
         return ()
 
     jax.lax.fori_loop(0, n_blocks, body, ())
-    out_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
+
+    # fold in the current token (always valid: causal self-attention);
+    # the block carries 16 broadcast rows (bf16 sublane tiling), row 0 used
+    k_n = k_new_ref[:].reshape(-1, hd)[0:1].astype(jnp.float32)   # [1, hd]
+    v_n = v_new_ref[:].reshape(-1, hd)[0:1].astype(jnp.float32)
+    s_new = jax.lax.dot_general(
+        q, k_n, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [g_pad, 1]
+    m_prev = m_ref[:]
+    m_fin = jnp.maximum(m_prev, s_new)
+    alpha = jnp.exp(m_prev - m_fin)
+    p_new = jnp.exp(s_new - m_fin)
+    l_fin = l_ref[:] * alpha + p_new
+    acc_fin = acc_ref[:] * alpha + p_new * v_n
+    out_ref[:] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention_stacked(
     q: jax.Array,            # [B, nq, hd] single-position queries
-    k_all: jax.Array,        # [L, B, nk, T, hd] STACKED cache (HBM)
-    v_all: jax.Array,
+    k_all: jax.Array,        # [L, B, nk, T, hd] STACKED cache (HBM),
+    v_all: jax.Array,        #   PRE-update: current token NOT yet visible
+    k_new: jax.Array,        # [B, nk, hd] current step's key (post-RoPE)
+    v_new: jax.Array,        # [B, nk, hd] current step's value
     layer: jax.Array,        # scalar int32 layer index
-    kv_len: jax.Array,       # [B] valid entries (including the new token)
+    kv_len: jax.Array,       # [B] tokens already cached (EXCLUDING current)
     kv_valid_from: jax.Array,  # [B] first valid slot (left-pad offset)
     *,
     interpret: bool = False,
@@ -141,6 +162,10 @@ def decode_attention_stacked(
         in_specs=[
             pl.BlockSpec((1, 1, g_pad, hd), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # k stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # v stays in HBM
         ],
@@ -157,10 +182,12 @@ def decode_attention_stacked(
         ],
     )
 
-    def kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, k_hbm, v_hbm,
-               out_ref, k_buf, v_buf, acc, m, l, sem_k, sem_v):
+    def kernel(layer_ref, kv_len_ref, valid_from_ref, q_ref, k_new_ref,
+               v_new_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf,
+               acc, m, l, sem_k, sem_v):
         _kernel(layer_ref, kv_len_ref, valid_from_ref,
-                q_ref.at[0, 0], out_ref.at[0, 0], k_hbm, v_hbm,
+                q_ref.at[0, 0], k_new_ref, v_new_ref,
+                out_ref.at[0, 0], k_hbm, v_hbm,
                 k_buf, v_buf, acc, m, l, sem_k, sem_v)
 
     out = pl.pallas_call(
@@ -169,29 +196,38 @@ def decode_attention_stacked(
         out_shape=jax.ShapeDtypeStruct((B, nk, g_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(layer, kv_len, valid_from, qg.astype(q.dtype), k_all, v_all)
+    )(layer, kv_len, valid_from, qg.astype(q.dtype),
+      jnp.broadcast_to(k_new.astype(q.dtype)[:, :, None], (B, nk, 16, hd)),
+      jnp.broadcast_to(v_new.astype(q.dtype)[:, :, None], (B, nk, 16, hd)),
+      k_all, v_all)
     return out[:, :, :g].reshape(B, nq, hd)
 
 
-def decode_attention(q, k, v, kv_len, kv_valid_from, *, interpret=False):
-    """Single-layer convenience wrapper: cache [B, nk, T, hd]."""
+def decode_attention(q, k, v, k_new, v_new, kv_len, kv_valid_from, *,
+                     interpret=False):
+    """Single-layer convenience wrapper: cache [B, nk, T, hd] (pre-update),
+    plus the current token's k/v [B, nk, hd]."""
     return decode_attention_stacked(
-        q, k[None], v[None], jnp.int32(0), kv_len, kv_valid_from,
-        interpret=interpret)
+        q, k[None], v[None], k_new, v_new, jnp.int32(0), kv_len,
+        kv_valid_from, interpret=interpret)
 
 
 def usable(cfg, cache_dtype=None) -> bool:
     """Static eligibility: decode-step shapes this kernel supports.
 
-    Default ON for TPU decode (validated on-device: boundary-exact at
-    kv_len=1, ~1e-4 deviation elsewhere — TPU matmul-pass rounding, the same
-    class of deviation llama.cpp's flash attention has vs naive math).
-    QWEN3_TTS_NO_FLASH=1 selects the dense exact-reference path instead;
-    both paths are individually deterministic under a fixed seed.
+    Opt-in (QWEN3_TTS_FLASH=1) this round: the pre-update-cache formulation
+    passes all interpreter-mode tests (boundary-exact at kv_len=0, per-row
+    masks, bf16 cache) but its compiled-mode on-device validation was cut
+    off by relay stalls; the dense path already delivers RTF 0.133 and must
+    not be put at risk for the driver's bench. First round-2 task: validate
+    on-device and default it on (docs/ROUND1_STATUS.md #2). Numerics note:
+    flash deviates from dense at ~1e-4 (TPU matmul-pass rounding, llama.cpp
+    flash-attention-class deviation); each path is individually
+    deterministic under a fixed seed.
     """
     import os
 
-    if os.environ.get("QWEN3_TTS_NO_FLASH") == "1":
+    if os.environ.get("QWEN3_TTS_FLASH") != "1":
         return False
     try:
         backend = jax.default_backend()
