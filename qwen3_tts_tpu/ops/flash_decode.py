@@ -215,19 +215,19 @@ def decode_attention(q, k, v, k_new, v_new, kv_len, kv_valid_from, *,
 def usable(cfg, cache_dtype=None) -> bool:
     """Static eligibility: decode-step shapes this kernel supports.
 
-    Opt-in (QWEN3_TTS_FLASH=1) this round: the pre-update-cache formulation
-    passes all interpreter-mode tests (boundary-exact at kv_len=0, per-row
-    masks, bf16 cache) but its compiled-mode on-device validation was cut
-    off by relay stalls; the dense path already delivers RTF 0.133 and must
-    not be put at risk for the driver's bench. First round-2 task: validate
-    on-device and default it on (docs/ROUND1_STATUS.md #2). Numerics note:
-    flash deviates from dense at ~1e-4 (TPU matmul-pass rounding, llama.cpp
-    flash-attention-class deviation); each path is individually
-    deterministic under a fixed seed.
+    DEFAULT ON for TPU decode steps since the on-device A/B
+    (tools/bench_flash.py, full generation loop, int8 flagship weights):
+    B=1 9.61 vs 11.08 ms/frame dense (-13%), B=8 12.96 vs 16.10 (-20%).
+    The pre-update-cache formulation folds the current token's k/v in VMEM,
+    so the cache write has no read-after-write hazard and XLA never copies
+    the carried cache buffers. `QWEN3_TTS_NO_FLASH=1` forces the dense
+    exact-reference math. Numerics note: flash deviates from dense at ~1e-4
+    (TPU matmul-pass rounding, llama.cpp flash-attention-class deviation);
+    each path is individually deterministic under a fixed seed.
     """
     import os
 
-    if os.environ.get("QWEN3_TTS_FLASH") != "1":
+    if os.environ.get("QWEN3_TTS_NO_FLASH") == "1":
         return False
     try:
         backend = jax.default_backend()
