@@ -1,0 +1,584 @@
+"""Fused predictor frame-expansion: ONE Pallas kernel per frame.
+
+The XLA predictor path (models/predictor.py) runs prefill + 15 AR codebook
+micro-steps as ~150 XLA ops each; at M=1 the per-op fixed cost (~2 us) adds
+up to ~4.5 ms/frame of pure dispatch overhead on top of the ~2 ms of weight
+reads that bound the math (docs/ROUND1_STATUS.md). This kernel runs the
+ENTIRE frame expansion — 2 prefill tokens + 15 greedy codebook steps x
+n_layers — in a single `pallas_call`:
+
+  * weights stay int8/bf16 in HBM and are panel-streamed (<=512 lanes) with
+    double buffering; VMEM (~16 MB) never holds more than ~2 panels + the
+    per-layer KV slice;
+  * the KV cache is frame-local: an ANY-space buffer aliased input->output,
+    read/written per (step, layer) with async copies (the cache never
+    round-trips to the host and is discarded after the frame);
+  * greedy sampling is a row-wise max+iota-min argmax in the VPU;
+  * the codebook-embedding gather (`codec_embedding_1024`) is a one-hot
+    matmul against pre-projected tables (ptab[q] = project(codec_table[q]),
+    bf16), so no scalar extraction is ever needed — exact because the
+    one-hot picks bf16 rows with 1.0 weights into an f32 accumulator;
+  * the 16x2048 output head is column-sliced per codebook
+    (src/tts/engine.rs:587-597), streamed like every other weight.
+
+Numerics match models/predictor.py at every rounding point (bf16 casts after
+each linear/norm, f32 softmax/accumulators); the attention matmul runs on
+bf16 MXU inputs (same class of deviation as ops/flash_decode.py, ~1e-4).
+Reference behavior reproduced: greedy argmax per codebook over logit slice
+[(q-1)*2048, q*2048) with offset removed, prefill = [proj(talker_hidden),
+codec_emb_1024(0, code_0)] at positions 0,1, feedback embedding
+codec_emb_1024(q, code_q) at position q+1 (src/tts/engine.rs:564-611).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core import protocol
+
+NEG = -1e30
+PW = 512          # max weight-panel lanes streamed per DMA
+
+
+def _pw(n: int) -> int:
+    return min(PW, n)
+
+
+def _np(n: int) -> int:
+    return -(-n // _pw(n))
+
+
+def _kernel_body(cfg, B, quant, dense_round, ptab_rows, refs):
+    """The whole frame expansion. `refs` is the dict of kernel refs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = cfg.hidden
+    L = cfg.n_layers
+    nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
+    g = nq // nk
+    F = cfg.ffn_dim
+    T = cfg.max_seq
+    NQKV = (nq + 2 * nk) * hd
+    CV = protocol.CODE_VOCAB
+    NB = protocol.NUM_CODEBOOKS
+    dt = jnp.dtype(cfg.dtype)
+    Bp = refs["x"].shape[0]
+    B8 = refs["kbuf"].shape[0] // nk
+    R = refs["ptab"].shape[1]
+    RW = refs["rbuf"].shape[1]
+    inv_sqrt = 1.0 / float(hd) ** 0.5
+    eps = cfg.rms_eps
+
+    x_ref, y_ref, logits_ref, acc_ref = (
+        refs["x"], refs["y"], refs["logits"], refs["acc"])
+    kbuf, vbuf = refs["kbuf"], refs["vbuf"]
+    wbuf_h, wbuf_f, rbuf = refs["wbuf_h"], refs["wbuf_f"], refs["rbuf"]
+    wsem, rsem = refs["wsem"], refs["rsem"]
+    krsem, vrsem = refs["krsem"], refs["vrsem"]
+    kwsem, vwsem = refs["kwsem"], refs["vwsem"]
+    cache = refs["cache_out"]
+    out_codes = refs["codes"]
+    Lc = jnp.int32(L)
+
+    # norm weights arrive f32 (bf16 [L,H] tables cannot be dynamically
+    # row-indexed on TPU: sub-tile access) and are cast back to the model
+    # dtype so the multiply matches models/decoder.rms_norm bit-for-bit
+    def rms2(x, w_row):                      # x [Bp, H] f32-math rms norm
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * w_row.astype(dt)
+
+    def rms3(x, w_row):                      # x [Bp, nh, hd]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * (
+            w_row.astype(dt)[None])
+
+    def rope(x, cos_r, sin_r):               # x [Bp, nh, hd]; cos_r [1, hd]
+        half = hd // 2
+        rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+        c = cos_r[None].astype(dt)           # [1, 1, hd]
+        s = sin_r[None].astype(dt)
+        return x * c + rot * s
+
+    def stream_matmul(x_dt, w_hbm, buf, K, N, col_base=None):
+        """y_ref[:, :N] = f32( x_dt [Bp,K] @ w_hbm[:, base:base+N] ).
+
+        w_hbm: ref [K, N_total]; panels of `pw` lanes double-buffered
+        through `buf` [2, K, >=pw]. col_base: traced column offset (head).
+        """
+        pw = _pw(N)
+        n_panels = N // pw
+        exact = buf.shape[1] == K and buf.shape[2] == pw
+
+        def dma(slot, p):
+            start = p * pw if col_base is None else col_base + p * pw
+            src = w_hbm.at[:, pl.ds(start, pw)]
+            dst = buf.at[slot] if exact else (
+                buf.at[slot, pl.ds(0, K), pl.ds(0, pw)])
+            return pltpu.make_async_copy(src, dst, wsem.at[slot])
+
+        dma(0, 0).start()
+
+        def body(p, _):
+            slot = jax.lax.rem(p, 2)
+
+            @pl.when(p + 1 < n_panels)
+            def _():
+                dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+            dma(slot, p).wait()
+            w = buf[slot] if exact else buf[slot, pl.ds(0, K), pl.ds(0, pw)]
+            acc = jax.lax.dot_general(
+                x_dt, w.astype(dt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y_ref[:, pl.ds(p * pw, pw)] = acc
+            return ()
+
+        jax.lax.fori_loop(0, n_panels, body, ())
+
+    def attention(q3, k3, v3, pos):
+        """Block-diagonal GQA decode over the VMEM cache slice.
+
+        q3 [Bp, nq, hd]; kbuf/vbuf [B8, nk, T, hd]. Returns [Bp, nq*hd] dt.
+        Pad q rows (>= B8*nq after flatten) select pad kv blocks via the
+        group map, so their outputs are garbage but finite (bufs zeroed).
+        """
+        R_att = B8 * nq
+        C_att = B8 * nk * T
+        qf = q3[:B8].reshape(R_att, hd).astype(jnp.float32)
+        kf = k3.reshape(C_att, hd)
+        vf = v3.reshape(C_att, hd)
+        scores = jax.lax.dot_general(
+            qf, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt    # [R, C]
+        # Block-diagonal extraction entirely in 2D (lane-splitting reshapes
+        # are unsupported relayouts): column j = kv-block j//T, slot j%T;
+        # row r belongs to kv-block r//g.
+        row_blk = jax.lax.broadcasted_iota(
+            jnp.int32, (R_att, C_att), 0) // g
+        col_blk = jax.lax.broadcasted_iota(
+            jnp.int32, (R_att, C_att), 1) // T
+        keep = row_blk == col_blk
+        # fold scores to [R, T] with the 0/1 slot matrix G[j, t] = (j%T == t)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (C_att, T), 0) % T
+        gt = jax.lax.broadcasted_iota(jnp.int32, (C_att, T), 1)
+        G = (gj == gt).astype(jnp.float32)
+        sd = jax.lax.dot_general(
+            jnp.where(keep, scores, 0.0), G, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [R, T]
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        sd = jnp.where(t_idx <= pos, sd, NEG)
+        m = jnp.max(sd, axis=-1, keepdims=True)
+        p = jnp.exp(sd - m)
+        probs = p / jnp.sum(p, axis=-1, keepdims=True)        # [R, T]
+        # expand back to [R, C] (probs @ G^T), mask to the block diagonal
+        gtj = jax.lax.broadcasted_iota(jnp.int32, (T, C_att), 1) % T
+        gtt = jax.lax.broadcasted_iota(jnp.int32, (T, C_att), 0)
+        GT = (gtj == gtt).astype(jnp.float32)
+        pexp = jax.lax.dot_general(
+            probs, GT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [R, C]
+        attn = jax.lax.dot_general(
+            jnp.where(keep, pexp, 0.0), vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [R, hd]
+        attn = attn.reshape(B8, nq * hd).astype(dt)
+        if B8 != Bp:
+            attn = jnp.concatenate(
+                [attn, jnp.zeros((Bp - B8, nq * hd), dt)], axis=0)
+        return attn
+
+    # kbuf/vbuf and the HBM cache are flattened to [rows=B*nk, T, hd]:
+    # 4D dynamic-slice ref writes lower as (unsupported) scatters.
+    def kv_read_dma(l):
+        return (
+            pltpu.make_async_copy(
+                cache.at[0, l], kbuf.at[pl.ds(0, B * nk)], krsem),
+            pltpu.make_async_copy(
+                cache.at[1, l], vbuf.at[pl.ds(0, B * nk)], vrsem),
+        )
+
+    def kv_write_dma(l, pos):
+        return (
+            pltpu.make_async_copy(
+                kbuf.at[pl.ds(0, B * nk), pl.ds(pos, 1), :],
+                cache.at[0, l, :, pl.ds(pos, 1), :], kwsem),
+            pltpu.make_async_copy(
+                vbuf.at[pl.ds(0, B * nk), pl.ds(pos, 1), :],
+                cache.at[1, l, :, pl.ds(pos, 1), :], vwsem),
+        )
+
+    def stack_pass(pos):
+        """One token (in x_ref) through all layers at cache slot `pos`."""
+        cos_r = refs["cos"][pl.ds(pos, 1), :]
+        sin_r = refs["sin"][pl.ds(pos, 1), :]
+
+        def layer(l, _):
+            # The pending write-back (previous layer's, or for layer 0 the
+            # previous token's last layer) reads kbuf/vbuf; it must land
+            # before the read DMA below overwrites those buffers.
+            @pl.when((pos > 0) | (l > 0))
+            def _():
+                l_prev = jnp.where(l > 0, l - 1, Lc - 1)
+                p_prev = jnp.where(l > 0, pos, pos - 1)
+                kw, vw = kv_write_dma(l_prev, p_prev)
+                kw.wait()
+                vw.wait()
+            kr, vr = kv_read_dma(l)
+            kr.start()
+            vr.start()
+
+            xv = x_ref[:]
+            a = rms2(xv, refs["ln1"][pl.ds(l, 1), :])
+            stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV)
+            qkv = (y_ref[:, pl.ds(0, NQKV)]
+                   * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
+            q3 = qkv[:, : nq * hd].reshape(Bp, nq, hd)
+            k3 = qkv[:, nq * hd: (nq + nk) * hd].reshape(Bp, nk, hd)
+            v3 = qkv[:, (nq + nk) * hd:].reshape(Bp, nk, hd)
+            q3 = rope(rms3(q3, refs["qn"][pl.ds(l, 1), :]), cos_r, sin_r)
+            k3 = rope(rms3(k3, refs["kn"][pl.ds(l, 1), :]), cos_r, sin_r)
+
+            kr.wait()
+            vr.wait()
+            # k3/v3 are already rounded to the model dtype (matching the
+            # XLA cache write); the f32 buffer exists because bf16 dynamic
+            # single-sublane stores are sub-tile accesses Mosaic rejects
+            kbuf[:, pl.ds(pos, 1), :] = k3[:B8].reshape(
+                B8 * nk, 1, hd).astype(kbuf.dtype)
+            vbuf[:, pl.ds(pos, 1), :] = v3[:B8].reshape(
+                B8 * nk, 1, hd).astype(vbuf.dtype)
+            kw, vw = kv_write_dma(l, pos)
+            kw.start()
+            vw.start()
+
+            attn = attention(q3, kbuf[:], vbuf[:], pos)
+            stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H)
+            wo_out = (y_ref[:, pl.ds(0, H)]
+                      * refs["sc_wo"][pl.ds(l, 1), :]).astype(dt)
+            x_ref[:] = xv + wo_out
+
+            m = rms2(x_ref[:], refs["ln2"][pl.ds(l, 1), :])
+            stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F)
+            gu = (y_ref[:, pl.ds(0, 2 * F)]
+                  * refs["sc_gu"][pl.ds(l, 1), :]).astype(dt)
+            # explicit silu: jax.nn.silu on bf16 trips a Mosaic verifier bug
+            # (f32 scalar broadcast into a bf16 vector)
+            g = gu[:, :F].astype(jnp.float32)
+            act = (g / (1.0 + jnp.exp(-g))).astype(dt) * gu[:, F:]
+            stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H)
+            dn = (y_ref[:, pl.ds(0, H)]
+                  * refs["sc_down"][pl.ds(l, 1), :]).astype(dt)
+            x_ref[:] = x_ref[:] + dn
+            return ()
+
+        jax.lax.fori_loop(0, L, layer, ())
+
+    def head_slice(q_idx):
+        """logits_ref = head columns [q_idx*CV, (q_idx+1)*CV) of x_ref."""
+        h = rms2(x_ref[:], refs["fnorm"][0:1, :])
+        stream_matmul(h, refs["whead"], wbuf_h, H, CV, col_base=q_idx * CV)
+        lg = y_ref[:, pl.ds(0, CV)] * refs["sc_head"][pl.ds(q_idx, 1), :]
+        if dense_round:     # dense XLA path rounds logits through cfg.dtype
+            lg = lg.astype(dt).astype(jnp.float32)
+        logits_ref[:] = lg
+
+    def argmax_row():
+        lg = logits_ref[:]
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        iota = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+        return jnp.min(jnp.where(lg >= m, iota, CV), axis=-1, keepdims=True)
+
+    # ---- frame expansion ----
+    out_codes[:] = jnp.zeros(out_codes.shape, jnp.int32)
+    kbuf[:] = jnp.zeros(kbuf.shape, kbuf.dtype)
+    vbuf[:] = jnp.zeros(vbuf.shape, vbuf.dtype)
+
+    # Prefill as a fori_loop so `pos` is always a traced value: Mosaic's
+    # load lowering rejects pl.ds() with a constant-folded scalar index.
+    def prefill(i, _):
+        # e01 is [2*Bp, H]; token i occupies rows [i*Bp, (i+1)*Bp)
+        x_ref[:] = refs["e01"][pl.ds(pl.multiple_of(i * Bp, Bp), Bp), :]
+        stack_pass(i)
+
+        @pl.when(i == 1)
+        def _():
+            head_slice(i - 1)          # codebook-1 logits (traced zero)
+        return ()
+
+    jax.lax.fori_loop(0, 2, prefill, ())
+
+    def step(q, _):
+        code = argmax_row()                               # [Bp, 1] int32
+        lane = jax.lax.broadcasted_iota(jnp.int32, out_codes.shape, 1)
+        out_codes[:] = jnp.where(lane == q, jnp.broadcast_to(
+            code, out_codes.shape), out_codes[:])
+        # OOB codes (argmax >= real rows, tiny tables only) hit the bias row
+        sel = jnp.where(code < ptab_rows, code, R - 1)
+
+        @pl.when(q < NB - 1)
+        def _():
+            # emb = one-hot(code) @ ptab[q]  (== codec_embedding_1024(q, c))
+            rw = RW
+            n_panels = R // rw
+
+            def rdma(slot, p):
+                return pltpu.make_async_copy(
+                    refs["ptab"].at[q, pl.ds(p * rw, rw), :],
+                    rbuf.at[slot], rsem.at[slot])
+
+            rdma(0, 0).start()
+            acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+            def body(p, _):
+                slot = jax.lax.rem(p, 2)
+
+                @pl.when(p + 1 < n_panels)
+                def _():
+                    rdma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+                rdma(slot, p).wait()
+                iota = jax.lax.broadcasted_iota(jnp.int32, (Bp, rw), 1)
+                oh = (iota + p * rw == sel).astype(dt)
+                acc_ref[:] += jax.lax.dot_general(
+                    oh, rbuf[slot].astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return ()
+
+            jax.lax.fori_loop(0, n_panels, body, ())
+            x_ref[:] = acc_ref[:].astype(dt)
+            stack_pass(q + 1)
+            head_slice(q)              # codebook-(q+1) logits
+        return ()
+
+    jax.lax.fori_loop(1, NB, step, ())
+
+    # drain the one still-pending cache write-back (last layer, last token);
+    # fori keeps the indices traced (constant pl.ds indices fail to lower)
+    def drain(z, _):
+        kw, vw = kv_write_dma(z + (L - 1), z + (NB - 1))
+        kw.wait()
+        vw.wait()
+        return ()
+
+    jax.lax.fori_loop(0, 1, drain, ())
+
+
+def _split_w(w, n_out):
+    """(values, scales[f32, n_out-shaped ones if dense]) for a maybe-quant
+    weight."""
+    if isinstance(w, dict) and "q" in w:
+        return w["q"], w["scale"].astype(jnp.float32)
+    ones = jnp.ones(w.shape[:-2] + (n_out,), jnp.float32) if w.ndim == 3 \
+        else jnp.ones((n_out,), jnp.float32)
+    return w, ones
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "ptab_rows", "interpret"))
+def frame_codes_fused(
+    params: Dict[str, Any],
+    cfg,
+    ptab: jax.Array,          # [16, R, H] cfg.dtype from make_ptab (padded)
+    ptab_rows: int,           # real (un-padded) codec row count
+    h1024: jax.Array,         # [B, H] f32 projected talker hidden
+    code_0: jax.Array,        # [B] int32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fused replacement for models/predictor.frame_codes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, L = cfg.hidden, cfg.n_layers
+    nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
+    F, T = cfg.ffn_dim, cfg.max_seq
+    NQKV = (nq + 2 * nk) * hd
+    CV, NB = protocol.CODE_VOCAB, protocol.NUM_CODEBOOKS
+    dt = jnp.dtype(cfg.dtype)
+    B = code_0.shape[0]
+    sub = 16 if dt == jnp.bfloat16 else 8
+    Bp = max(sub, -(-B // sub) * sub)
+    B8 = max(8, -(-B // 8) * 8)
+
+    lw = params["layers"]
+    wqkv, sc_qkv = _split_w(lw["wqkv"], NQKV)
+    wo, sc_wo = _split_w(lw["wo"], H)
+    wgu, sc_gu = _split_w(lw["w_gu"], 2 * F)
+    wdown, sc_down = _split_w(lw["w_down"], H)
+    whead, sc_head = _split_w(params["head"], NB * CV)
+    quant = isinstance(lw["wqkv"], dict)
+    dense_round = not isinstance(params["head"], dict) and dt != jnp.float32
+
+    # ptab comes pre-padded by make_ptab: rows >= ptab_rows are BIAS rows
+    # (the reference's OOB-code result: zero codec row -> projection ->
+    # bias, `src/assets_manager.rs:419-442`); negative codes clamp to 0.
+    R = ptab.shape[1]
+    R0 = ptab_rows
+
+    def _sel(code):
+        clamped = jnp.maximum(code, 0)
+        return jnp.where(clamped < R0, clamped, R - 1)
+
+    # prefill embeddings, exactly as models/predictor.py builds them
+    e0 = h1024.astype(dt)
+    e1 = jnp.take(ptab[0], _sel(code_0), axis=0).astype(dt)
+    e01 = jnp.stack([e0, e1])                               # [2, B, H]
+    if Bp != B:
+        e01 = jnp.pad(e01, ((0, 0), (0, Bp - B), (0, 0)))
+    e01 = e01.reshape(2 * Bp, -1)           # 3D dynamic ref loads lower
+    #                                         as (unsupported) gathers
+
+    from . import rope as rope_mod
+    pos4 = rope_mod.mrope_positions(jnp.arange(T, dtype=jnp.int32)[None])
+    cos, sin = rope_mod.rope_angles(pos4, cfg.mrope_sections, hd,
+                                    cfg.rope_theta)
+    cos, sin = cos[0].astype(jnp.float32), sin[0].astype(jnp.float32)
+
+    cache0 = jnp.zeros((2, L, B * nk, T, hd), jnp.float32)
+
+    pwh = max(_pw(NQKV), _pw(H), _pw(2 * F), _pw(CV))
+    pwf = _pw(H)
+    ymax = max(NQKV, 2 * F, H, CV)
+
+    kern = functools.partial(_kernel, cfg=cfg, B=B, Bp=Bp, B8=B8,
+                             quant=quant, dense_round=dense_round,
+                             ptab_rows=R0)
+
+    codes, _ = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # e01
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cos
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sin
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln1
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln2
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qn
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kn
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fnorm
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_qkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_wo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_gu
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_down
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_head
+            pl.BlockSpec(memory_space=pl.ANY),       # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),       # wo
+            pl.BlockSpec(memory_space=pl.ANY),       # wgu
+            pl.BlockSpec(memory_space=pl.ANY),       # wdown
+            pl.BlockSpec(memory_space=pl.ANY),       # whead
+            pl.BlockSpec(memory_space=pl.ANY),       # ptab
+            pl.BlockSpec(memory_space=pl.ANY),       # cache (aliased)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # codes
+            pl.BlockSpec(memory_space=pl.ANY),       # cache_out
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
+            jax.ShapeDtypeStruct(cache0.shape, jnp.float32),
+        ),
+        input_output_aliases={19: 1},
+        scratch_shapes=[
+            pltpu.VMEM((Bp, H), dt),                       # x
+            pltpu.VMEM((Bp, ymax), jnp.float32),           # y
+            pltpu.VMEM((Bp, CV), jnp.float32),             # logits
+            pltpu.VMEM((Bp, H), jnp.float32),              # acc
+            pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # kbuf
+            pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # vbuf
+            pltpu.VMEM((2, H, pwh), wqkv.dtype),           # wbuf_h
+            pltpu.VMEM((2, F, pwf), wdown.dtype),          # wbuf_f
+            pltpu.VMEM((2, _pw(R), H), dt),                # rbuf
+            pltpu.SemaphoreType.DMA((2,)),                 # wsem
+            pltpu.SemaphoreType.DMA((2,)),                 # rsem
+            pltpu.SemaphoreType.DMA(()),                   # krsem
+            pltpu.SemaphoreType.DMA(()),                   # vrsem
+            pltpu.SemaphoreType.DMA(()),                   # kwsem
+            pltpu.SemaphoreType.DMA(()),                   # vwsem
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(e01, cos, sin,
+      lw["ln1"].astype(jnp.float32), lw["ln2"].astype(jnp.float32),
+      lw["q_norm"].astype(jnp.float32), lw["k_norm"].astype(jnp.float32),
+      params["final_norm"].reshape(1, H).astype(jnp.float32),
+      sc_qkv, sc_wo, sc_gu, sc_down, sc_head.reshape(NB, CV),
+      wqkv, wo, wgu, wdown, whead, ptab, cache0)
+
+    codes = codes[:B, :NB]
+    return jnp.concatenate([code_0[:, None], codes[:, 1:]], axis=1)
+
+
+def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
+            sc_qkv, sc_wo, sc_gu, sc_down, sc_head,
+            wqkv, wo, wgu, wdown, whead, ptab, cache_in,
+            codes, cache_out,
+            x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, rbuf,
+            wsem, rsem, krsem, vrsem, kwsem, vwsem,
+            *, cfg, B, Bp, B8, quant, dense_round, ptab_rows):
+    refs = dict(
+        e01=e01, cos=cos, sin=sin, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
+        fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
+        sc_down=sc_down, sc_head=sc_head, wqkv=wqkv, wo=wo, wgu=wgu,
+        wdown=wdown, whead=whead, ptab=ptab, cache_out=cache_out,
+        codes=codes, x=x, y=y, logits=logits, acc=acc, kbuf=kbuf,
+        vbuf=vbuf, wbuf_h=wbuf_h, wbuf_f=wbuf_f, rbuf=rbuf, wsem=wsem,
+        rsem=rsem, krsem=krsem, vrsem=vrsem, kwsem=kwsem, vwsem=vwsem,
+    )
+    _kernel_body(cfg, B, quant, dense_round, ptab_rows, refs)
+
+
+def make_ptab(assets, cfg):
+    """Pre-projected codebook tables: ptab[q, c] = codec_embedding_1024(q, c).
+
+    Computed in f32 (matching assets.project) then stored in cfg.dtype so the
+    in-kernel one-hot gather reproduces the XLA path's single rounding.
+    Rows are padded to a DMA-panel multiple with at least one BIAS row
+    (the reference's OOB-code value: zero codec row -> projection -> bias).
+
+    Returns (ptab [16, R_padded, H], rows) — `rows` is the real row count,
+    passed to frame_codes_fused as a static argument.
+    """
+    tabs = assets.codec_tables.astype(jnp.float32)
+    pt = jnp.einsum("qrd,pd->qrp", tabs,
+                    assets.proj_weight.astype(jnp.float32))
+    pt = pt + assets.proj_bias.astype(jnp.float32)
+    rows = pt.shape[1]
+    rw = _pw(rows + 1)
+    r_pad = -(-(rows + 1) // rw) * rw
+    bias = jnp.broadcast_to(assets.proj_bias.astype(jnp.float32),
+                            (pt.shape[0], r_pad - rows, pt.shape[2]))
+    pt = jnp.concatenate([pt, bias], axis=1)
+    return pt.astype(jnp.dtype(cfg.dtype)), rows
+
+
+def usable(cfg, batch: int) -> bool:
+    """Static eligibility of the fused kernel for compiled execution."""
+    if os.environ.get("QWEN3_TTS_NO_FUSED") == "1":
+        return False
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    if backend in ("cpu",):
+        return False
+    H, F = cfg.hidden, cfg.ffn_dim
+    NQKV = (cfg.n_q_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
+    dt = jnp.dtype(cfg.dtype)
+    max_b = 16 if dt != jnp.bfloat16 else 16
+    return (
+        cfg.n_q_heads % cfg.n_kv_heads == 0
+        and cfg.head_dim % 128 == 0
+        and H % PW == 0
+        and (2 * F) % PW == 0
+        and NQKV % PW == 0
+        and protocol.CODE_VOCAB % PW == 0
+        and cfg.max_seq >= protocol.NUM_CODEBOOKS + 1
+        and cfg.max_seq % 8 == 0
+        and batch <= max_b
+    )

@@ -1,0 +1,98 @@
+"""Fused predictor-frame kernel vs the XLA predictor path.
+
+The fused kernel (ops/fused_predictor.py) must reproduce models/predictor.py
+exactly on f32 tiny configs (interpret mode): same greedy codes for every
+batch row, including padded batches and quantized weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.assets import tables
+from qwen3_tts_tpu.core.config import PredictorConfig
+from qwen3_tts_tpu.models import decoder, predictor
+from qwen3_tts_tpu.ops import fused_predictor, quant
+
+CFG = PredictorConfig(
+    hidden=32, n_layers=2, n_q_heads=2, n_kv_heads=2, head_dim=16,
+    ffn_dim=64, max_seq=32, mrope_sections=(8, 0, 0, 0), dtype="float32",
+)
+CFG_GQA = PredictorConfig(
+    hidden=64, n_layers=2, n_q_heads=4, n_kv_heads=2, head_dim=16,
+    ffn_dim=64, max_seq=32, mrope_sections=(8, 0, 0, 0), dtype="float32",
+)
+
+
+def _setup(cfg, seed=0, codec_rows=96):
+    k = jax.random.split(jax.random.key(seed), 3)
+    params = decoder.init_decoder(k[0], cfg)
+    assets = tables.random_assets(
+        k[1], text_vocab=64, codec_rows=codec_rows, dim=48,
+        proj_dim=cfg.hidden)
+    ptab, rows = fused_predictor.make_ptab(assets, cfg)
+    return params, assets, (ptab, rows), k[2]
+
+
+@pytest.mark.parametrize("batch", [1, 2, 5])
+def test_fused_matches_xla(batch):
+    params, assets, ptab, key = _setup(CFG)
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (batch, CFG.hidden), jnp.float32)
+    code0 = jax.random.randint(kc, (batch,), 0, 90, jnp.int32)
+
+    ref = predictor.frame_codes(params, CFG, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params, CFG, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert got.shape == (batch, 16)
+    assert jnp.array_equal(ref, got), (ref, got)
+
+
+def test_fused_matches_xla_gqa():
+    params, assets, ptab, key = _setup(CFG_GQA, seed=3)
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (2, CFG_GQA.hidden), jnp.float32)
+    code0 = jnp.array([5, 17], jnp.int32)
+
+    ref = predictor.frame_codes(params, CFG_GQA, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params, CFG_GQA, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got)
+
+
+def test_fused_matches_xla_quantized():
+    params, assets, ptab, key = _setup(CFG, seed=1)
+    params_q = quant.quantize_decoder_params(params)
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (2, CFG.hidden), jnp.float32)
+    code0 = jnp.array([3, 70], jnp.int32)
+
+    ref = predictor.frame_codes(params_q, CFG, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params_q, CFG, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got)
+
+
+def test_fused_oob_code0_uses_bias_row():
+    # codec_embedding clamps OOB rows to zeros, so codec_embedding_1024
+    # becomes just the projection bias; ptab's padded rows must reproduce it
+    params, assets, ptab, key = _setup(CFG, seed=2, codec_rows=96)
+    h1024 = jax.random.normal(key, (1, CFG.hidden), jnp.float32)
+    code0 = jnp.array([982], jnp.int32)  # OOB for 96-row tables
+
+    ref = predictor.frame_codes(params, CFG, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params, CFG, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got)
+
+
+def test_make_ptab_matches_codec_embedding_1024():
+    _, assets, (ptab, rows), _ = _setup(CFG)
+    assert rows == 96 and ptab.shape[1] > rows     # padded past real rows
+    q = jnp.array([0, 3, 15, 2], jnp.int32)
+    c = jnp.array([1, 50, 95, 2000], jnp.int32)    # last one OOB -> bias
+    ref = assets.codec_embedding_1024(q, c)
+    sel = jnp.where(c < rows, c, ptab.shape[1] - 1)
+    got = ptab[q, sel]
+    assert jnp.allclose(ref.astype(jnp.float32), got.astype(jnp.float32),
+                        atol=1e-6)
