@@ -69,10 +69,14 @@ def main() -> int:
     seed_base = (int(time.time()) % 1_000_000) * 100
 
     def measure_gen(mdl, tag, seed_off=0):
+        rows = mdl.get("_ptab_rows", 0)
+        mdl = {k: v for k, v in mdl.items() if k != "_ptab_rows"}
+
         def gen(seed):
             return generate.generate_codes(
                 mdl, cfg.talker, cfg.predictor, prompt, pad,
-                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS)
+                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS,
+                fused_rows=rows)
 
         # warmup / compile (two rounds: remote compile can finish lazily, so
         # the first post-compile dispatch may still absorb straggler work)
@@ -99,6 +103,8 @@ def main() -> int:
         return fms, codes
 
     def measure_gen_batch(mdl, batch, tag, seed_off=50):
+        rows = mdl.get("_ptab_rows", 0)
+        mdl = {k: v for k, v in mdl.items() if k != "_ptab_rows"}
         prompt_b = 0.1 * jax.random.normal(
             jax.random.key(9), (batch, S, cfg.talker.hidden), jnp.bfloat16)
         pad_b = jnp.zeros((batch,), jnp.int32)
@@ -106,7 +112,8 @@ def main() -> int:
         def gen(seed):
             return generate.generate_codes(
                 mdl, cfg.talker, cfg.predictor, prompt_b, pad_b,
-                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS)
+                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS,
+                fused_rows=rows)
 
         for i in (0, 1):
             jax.block_until_ready(gen(seed_base + seed_off + i))
@@ -133,6 +140,15 @@ def main() -> int:
         "predictor": quant.quantize_decoder_params(models["predictor"]),
         "assets": models["assets"],
     }
+    # fused predictor kernel (ops/fused_predictor.py): whole frame expansion
+    # in one pallas_call; eligibility re-checked inside generate._predict_codes
+    from qwen3_tts_tpu.ops import fused_predictor
+    if fused_predictor.usable(cfg.predictor, 1):
+        ptab, rows = fused_predictor.make_ptab(models["assets"],
+                                               cfg.predictor)
+        for m in (models, models_q):
+            m["pred_ptab"] = ptab
+            m["_ptab_rows"] = rows
     jax.block_until_ready(models_q)
     frame_ms_int8, codes = measure_gen(models_q, "int8")
     frame_ms = frame_ms_int8

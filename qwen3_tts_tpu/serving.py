@@ -69,7 +69,8 @@ class ServingEngine:
         sc = engine.sampler_config
         self._prefill_fn, self._step_fn = generate.make_stream_fns(
             tcfg, cfg.predictor, top_k=sc.top_k,
-            frames_per_call=chunk_frames)
+            frames_per_call=chunk_frames,
+            fused_rows=getattr(engine, "_fused_rows", 0))
 
     # ------------------------------------------------------------------ admit
     def _blank_state(self):
@@ -114,8 +115,7 @@ class ServingEngine:
         key = self.engine._seed_key()
         sc = self.engine.sampler_config
         st1 = self._prefill_fn(
-            {k: self.engine.models[k] for k in ("talker", "predictor", "assets")},
-            batch1, offs1, key, sc.temperature, sc.top_p)
+            self.engine.models, batch1, offs1, key, sc.temperature, sc.top_p)
         self._state = _scatter_row(self._state, st1, slot)
         self._vstate = _reset_vocoder_row(self._vstate, self.cfg.vocoder, slot)
         s = _Stream(stream_id=sid, slot=slot, on_chunk=on_chunk)
@@ -129,9 +129,8 @@ class ServingEngine:
         Returns the number of active streams after the tick."""
         if self._state is None or self.slots.active() == 0:
             return 0
-        models = {k: self.engine.models[k]
-                  for k in ("talker", "predictor", "assets")}
-        self._state, codes, active = self._step_fn(models, self._state)
+        self._state, codes, active = self._step_fn(
+            self.engine.models, self._state)
         codes = np.asarray(codes)           # [B, chunk, 16]
         active = np.asarray(active)         # [B, chunk]
         done = np.asarray(self._state["done"])

@@ -116,6 +116,17 @@ class TtsEngine:
         if sdir and os.path.isdir(sdir):
             self.load_speakers(sdir)
 
+        # pre-projected codebook tables for the fused predictor kernel
+        # (ops/fused_predictor.py); usable() gates on backend + geometry, so
+        # tiny/CPU configs skip this and keep the dense XLA path
+        self._fused_rows = 0
+        from ..ops import fused_predictor
+        if fused_predictor.usable(cfg.predictor, 1):
+            ptab, rows = fused_predictor.make_ptab(
+                self.models["assets"], cfg.predictor)
+            self.models["pred_ptab"] = ptab
+            self._fused_rows = rows
+
         self._stream_fns = {}
 
     # ------------------------------------------------------------------ setup
@@ -178,7 +189,7 @@ class TtsEngine:
                 codes, n = generate.generate_codes(
                     self.models, cfg.talker, cfg.predictor, batch, offsets,
                     jax.random.key(0), sc.temperature, sc.top_k, sc.top_p,
-                    steps)
+                    steps, fused_rows=self._fused_rows)
                 jax.block_until_ready((codes, n))
         # vocoder buckets for typical utterance lengths
         for b in batch_sizes:
@@ -341,7 +352,7 @@ class TtsEngine:
         codes, n_frames = generate.generate_codes(
             self.models, cfg.talker, cfg.predictor, batch, offsets,
             self._seed_key(), sc.temperature, sc.top_k, sc.top_p,
-            steps,
+            steps, fused_rows=self._fused_rows,
         )
         codes = np.asarray(codes)
         n_frames = np.asarray(n_frames)
@@ -383,11 +394,12 @@ class TtsEngine:
         data = self._prompt_for_voice(text, voice, instruct)
         batch, offsets = prompt.pad_batch([data.embeds])
 
-        key = (sc.top_k, P.STREAM_CHUNK_FRAMES)
+        key = (sc.top_k, P.STREAM_CHUNK_FRAMES, self._fused_rows)
         if key not in self._stream_fns:
             self._stream_fns[key] = generate.make_stream_fns(
                 cfg.talker, cfg.predictor, top_k=sc.top_k,
                 frames_per_call=P.STREAM_CHUNK_FRAMES,
+                fused_rows=self._fused_rows,
             )
         prefill_fn, step_fn = self._stream_fns[key]
 

@@ -32,6 +32,7 @@ from ..assets.tables import Assets
 from ..core import protocol, sampling
 from ..core.config import PredictorConfig, TalkerConfig
 from ..models import decoder, predictor, talker
+from ..ops import fused_predictor
 
 GenState = Dict[str, Any]
 
@@ -65,12 +66,43 @@ def _feedback_embedding(assets: Assets, codes: jax.Array, hidden: int) -> jax.Ar
     return jnp.pad(fb, pad)
 
 
+def _predict_codes(
+    models: Dict[str, Any],
+    pred_cfg: PredictorConfig,
+    h1024: jax.Array,
+    code0: jax.Array,
+    fused_rows: int,
+) -> jax.Array:
+    """Frame expansion, via the single-launch Pallas kernel when eligible.
+
+    The fused path (ops/fused_predictor.py) runs the whole 16-code expansion
+    in one pallas_call (-36..40% per frame on v5e vs the XLA scan,
+    tools/bench_fused_predictor.py); `fused_rows`>0 plus a `pred_ptab` entry
+    in `models` (built by fused_predictor.make_ptab) opts in, and static
+    eligibility (geometry/backend/batch, incl. QWEN3_TTS_NO_FUSED=1) is
+    rechecked here so callers can pass ptab unconditionally.
+    """
+    if (
+        fused_rows > 0
+        and "pred_ptab" in models
+        and fused_predictor.usable(pred_cfg, code0.shape[0])
+    ):
+        return fused_predictor.frame_codes_fused(
+            models["predictor"], pred_cfg, models["pred_ptab"], fused_rows,
+            h1024, code0,
+        )
+    return predictor.frame_codes(
+        models["predictor"], pred_cfg, models["assets"], h1024, code0
+    )
+
+
 def _frame_body(
     models: Dict[str, Any],
     talker_cfg: TalkerConfig,
     pred_cfg: PredictorConfig,
     top_k: int,
     state: GenState,
+    fused_rows: int = 0,
 ) -> Tuple[GenState, jax.Array, jax.Array]:
     """One frame: sample code_0 -> predictor expand -> feedback decode.
 
@@ -86,9 +118,7 @@ def _frame_body(
     active = ~done                                            # emits a frame
 
     h1024 = models["assets"].project(state["hidden"].astype(jnp.float32))
-    codes = predictor.frame_codes(
-        models["predictor"], pred_cfg, models["assets"], h1024, code0
-    )
+    codes = _predict_codes(models, pred_cfg, h1024, code0, fused_rows)
     codes = jnp.where(active[:, None], codes, 0)
 
     fb = _feedback_embedding(models["assets"], codes, talker_cfg.hidden)
@@ -144,7 +174,8 @@ def init_state(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("talker_cfg", "pred_cfg", "top_k", "max_steps"),
+    static_argnames=(
+        "talker_cfg", "pred_cfg", "top_k", "max_steps", "fused_rows"),
 )
 def generate_codes(
     models: Dict[str, Any],
@@ -157,6 +188,7 @@ def generate_codes(
     top_k: int,
     top_p: float,
     max_steps: int,
+    fused_rows: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused offline generation: whole loop on device.
 
@@ -177,7 +209,7 @@ def generate_codes(
         state, buf = carry
         step = state["step"]
         state, codes, active = _frame_body(
-            models, talker_cfg, pred_cfg, top_k, state
+            models, talker_cfg, pred_cfg, top_k, state, fused_rows
         )
         buf = jax.lax.dynamic_update_slice(
             buf, codes[:, None], (jnp.int32(0), step, jnp.int32(0))
@@ -189,7 +221,8 @@ def generate_codes(
 
 
 def make_stream_fns(talker_cfg: TalkerConfig, pred_cfg: PredictorConfig,
-                    top_k: int, frames_per_call: int = 1):
+                    top_k: int, frames_per_call: int = 1,
+                    fused_rows: int = 0):
     """Jitted (prefill_fn, step_fn) for streaming generation.
 
     step_fn advances `frames_per_call` frames per host round-trip (a scan), so
@@ -208,7 +241,7 @@ def make_stream_fns(talker_cfg: TalkerConfig, pred_cfg: PredictorConfig,
     def step_fn(models, state):
         def one(state, _):
             state, codes, active = _frame_body(
-                models, talker_cfg, pred_cfg, top_k, state
+                models, talker_cfg, pred_cfg, top_k, state, fused_rows
             )
             return state, (codes, active)
 

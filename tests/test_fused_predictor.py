@@ -96,3 +96,38 @@ def test_make_ptab_matches_codec_embedding_1024():
     got = ptab[q, sel]
     assert jnp.allclose(ref.astype(jnp.float32), got.astype(jnp.float32),
                         atol=1e-6)
+
+
+def test_generate_codes_fused_wiring(monkeypatch):
+    """generate_codes with fused_rows>0 routes frames through the fused
+    kernel (forced eligible + interpret on CPU) and matches the dense path
+    exactly on a greedy f32 tiny config."""
+    from qwen3_tts_tpu.core.config import tiny_engine_config
+    from qwen3_tts_tpu.tts import generate
+
+    ecfg = tiny_engine_config(max_steps=4)
+    k1, k2, k3, kp = jax.random.split(jax.random.key(7), 4)
+    models = {
+        "talker": decoder.init_decoder(k1, ecfg.talker),
+        "predictor": decoder.init_decoder(k2, ecfg.predictor),
+        "assets": tables.random_assets(
+            k3, text_vocab=256, codec_rows=2176,
+            dim=ecfg.talker.hidden, proj_dim=ecfg.predictor.hidden),
+    }
+    prompt = 0.1 * jax.random.normal(kp, (1, 5, ecfg.talker.hidden))
+    args = (ecfg.talker, ecfg.predictor, prompt,
+            jnp.zeros((1,), jnp.int32), jax.random.key(0), 0.0, 0, 1.0, 4)
+
+    dense_codes, dense_n = generate.generate_codes(models, *args)
+
+    ptab, rows = fused_predictor.make_ptab(models["assets"], ecfg.predictor)
+    monkeypatch.setattr(fused_predictor, "usable", lambda cfg, b: True)
+    orig = fused_predictor.frame_codes_fused
+    monkeypatch.setattr(
+        fused_predictor, "frame_codes_fused",
+        lambda *a, **kw: orig(*a, interpret=True, **kw))
+    fused_codes, fused_n = generate.generate_codes(
+        dict(models, pred_ptab=ptab), *args, fused_rows=rows)
+
+    assert jnp.array_equal(dense_n, fused_n)
+    assert jnp.array_equal(dense_codes, fused_codes)
