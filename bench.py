@@ -68,10 +68,7 @@ def main() -> int:
     # real chip-claim stall into the first timed call instead of the warmup
     seed_base = (int(time.time()) % 1_000_000) * 100
 
-    def measure_gen(mdl, tag, seed_off=0):
-        rows = mdl.get("_ptab_rows", 0)
-        mdl = {k: v for k, v in mdl.items() if k != "_ptab_rows"}
-
+    def measure_gen(mdl, tag, seed_off=0, rows=0):
         def gen(seed):
             return generate.generate_codes(
                 mdl, cfg.talker, cfg.predictor, prompt, pad,
@@ -102,9 +99,7 @@ def main() -> int:
               f"-> median {fms:.2f} ms/frame", file=sys.stderr)
         return fms, codes
 
-    def measure_gen_batch(mdl, batch, tag, seed_off=50):
-        rows = mdl.get("_ptab_rows", 0)
-        mdl = {k: v for k, v in mdl.items() if k != "_ptab_rows"}
+    def measure_gen_batch(mdl, batch, tag, seed_off=50, rows=0):
         prompt_b = 0.1 * jax.random.normal(
             jax.random.key(9), (batch, S, cfg.talker.hidden), jnp.bfloat16)
         pad_b = jnp.zeros((batch,), jnp.int32)
@@ -143,14 +138,14 @@ def main() -> int:
     # fused predictor kernel (ops/fused_predictor.py): whole frame expansion
     # in one pallas_call; eligibility re-checked inside generate._predict_codes
     from qwen3_tts_tpu.ops import fused_predictor
+    ptab_rows = 0
     if fused_predictor.usable(cfg.predictor, 1):
-        ptab, rows = fused_predictor.make_ptab(models["assets"],
-                                               cfg.predictor)
+        ptab, ptab_rows = fused_predictor.make_ptab(models["assets"],
+                                                    cfg.predictor)
         for m in (models, models_q):
             m["pred_ptab"] = ptab
-            m["_ptab_rows"] = rows
     jax.block_until_ready(models_q)
-    frame_ms_int8, codes = measure_gen(models_q, "int8")
+    frame_ms_int8, codes = measure_gen(models_q, "int8", rows=ptab_rows)
     frame_ms = frame_ms_int8
 
     # vocoder: fused decode of the full code matrix, fresh codes per call
@@ -199,9 +194,11 @@ def main() -> int:
 
     # --- supplementary (stderr): bf16 single-stream + batch-8 throughput ---
     try:
-        frame_ms_bf16, _ = measure_gen(models, "bf16", seed_off=20)
+        frame_ms_bf16, _ = measure_gen(models, "bf16", seed_off=20,
+                                       rows=ptab_rows)
         B_TP = 8
-        frame_ms_b8 = measure_gen_batch(models_q, B_TP, "batch8")
+        frame_ms_b8 = measure_gen_batch(models_q, B_TP, "batch8",
+                                        rows=ptab_rows)
         throughput_b8 = (B_TP * frame_audio_s
                          / ((frame_ms_b8 + voc_frame_ms) / 1e3))
         print(f"bf16 frame: {frame_ms_bf16:.2f} ms; batch8 throughput: "

@@ -49,11 +49,7 @@ def _pw(n: int) -> int:
     return min(PW, n)
 
 
-def _np(n: int) -> int:
-    return -(-n // _pw(n))
-
-
-def _kernel_body(cfg, B, quant, dense_round, ptab_rows, refs):
+def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
     """The whole frame expansion. `refs` is the dict of kernel refs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -285,7 +281,9 @@ def _kernel_body(cfg, B, quant, dense_round, ptab_rows, refs):
         h = rms2(x_ref[:], refs["fnorm"][0:1, :])
         stream_matmul(h, refs["whead"], wbuf_h, H, CV, col_base=q_idx * CV)
         lg = y_ref[:, pl.ds(0, CV)] * refs["sc_head"][pl.ds(q_idx, 1), :]
-        if dense_round:     # dense XLA path rounds logits through cfg.dtype
+        if dense_round:     # XLA path rounds logits through cfg.dtype for
+            # BOTH dense (h @ w in dt) and quantized heads (quant.linear does
+            # qmatmul(...).astype(x.dtype) before head_logits' f32 cast)
             lg = lg.astype(dt).astype(jnp.float32)
         logits_ref[:] = lg
 
@@ -413,8 +411,7 @@ def frame_codes_fused(
     wgu, sc_gu = _split_w(lw["w_gu"], 2 * F)
     wdown, sc_down = _split_w(lw["w_down"], H)
     whead, sc_head = _split_w(params["head"], NB * CV)
-    quant = isinstance(lw["wqkv"], dict)
-    dense_round = not isinstance(params["head"], dict) and dt != jnp.float32
+    dense_round = dt != jnp.float32
 
     # ptab comes pre-padded by make_ptab: rows >= ptab_rows are BIAS rows
     # (the reference's OOB-code result: zero codec row -> projection ->
@@ -448,8 +445,7 @@ def frame_codes_fused(
     ymax = max(NQKV, 2 * F, H, CV)
 
     kern = functools.partial(_kernel, cfg=cfg, B=B, Bp=Bp, B8=B8,
-                             quant=quant, dense_round=dense_round,
-                             ptab_rows=R0)
+                             dense_round=dense_round, ptab_rows=R0)
 
     codes, _ = pl.pallas_call(
         kern,
@@ -520,7 +516,7 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
             codes, cache_out,
             x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, rbuf,
             wsem, rsem, krsem, vrsem, kwsem, vwsem,
-            *, cfg, B, Bp, B8, quant, dense_round, ptab_rows):
+            *, cfg, B, Bp, B8, dense_round, ptab_rows):
     refs = dict(
         e01=e01, cos=cos, sin=sin, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
         fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
@@ -530,7 +526,7 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
         vbuf=vbuf, wbuf_h=wbuf_h, wbuf_f=wbuf_f, rbuf=rbuf, wsem=wsem,
         rsem=rsem, krsem=krsem, vrsem=vrsem, kwsem=kwsem, vwsem=vwsem,
     )
-    _kernel_body(cfg, B, quant, dense_round, ptab_rows, refs)
+    _kernel_body(cfg, B, dense_round, ptab_rows, refs)
 
 
 def make_ptab(assets, cfg):
@@ -565,15 +561,17 @@ def usable(cfg, batch: int) -> bool:
         backend = jax.default_backend()
     except RuntimeError:
         return False
-    if backend in ("cpu",):
+    if backend != "tpu":     # pltpu primitives: TPU only (not just non-CPU)
         return False
     H, F = cfg.hidden, cfg.ffn_dim
     NQKV = (cfg.n_q_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
-    dt = jnp.dtype(cfg.dtype)
-    max_b = 16 if dt != jnp.bfloat16 else 16
+    max_b = 16
     return (
         cfg.n_q_heads % cfg.n_kv_heads == 0
         and cfg.head_dim % 128 == 0
+        and cfg.n_q_heads * cfg.head_dim <= H  # wbuf_h is [2, H, pw]; the wo
+        # stream uses K = nq*hd rows of it (GQA configs with nq*hd > H would
+        # slice out of bounds)
         and H % PW == 0
         and (2 * F) % PW == 0
         and NQKV % PW == 0

@@ -27,6 +27,19 @@ def _find_lib() -> Optional[str]:
     ):
         if cand and os.path.exists(cand):
             return cand
+    # the .so is a build artifact (not committed): build it on first use
+    ndir = os.path.join(here, "native")
+    if os.path.exists(os.path.join(ndir, "Makefile")):
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", ndir], check=True,
+                           capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        cand = os.path.join(ndir, "libttsrt.so")
+        if os.path.exists(cand):
+            return cand
     return None
 
 

@@ -16,6 +16,8 @@ from typing import List, Sequence
 
 
 class Tokenizer:
+    warning: str | None = None   # real tokenizer: nothing to surface
+
     def __init__(self, inner):
         self._inner = inner
 
@@ -38,6 +40,9 @@ class Tokenizer:
 class ByteTokenizer:
     """Test fallback: UTF-8 bytes as ids. Same interface as Tokenizer."""
 
+    warning = ("no tokenizer.json found: using the byte-level fallback "
+               "tokenizer, which is NOT compatible with real checkpoints")
+
     def encode(self, text: str) -> List[int]:
         return list(text.encode("utf-8"))
 
@@ -46,9 +51,13 @@ class ByteTokenizer:
 
 
 def load_tokenizer(model_dir: str):
-    """Tokenizer.json when present, byte fallback otherwise (with a warning
-    attribute so callers can surface it)."""
+    """Tokenizer.json when present, byte fallback otherwise (`.warning` is a
+    non-None string on the fallback so callers can surface it)."""
     try:
         return Tokenizer.load(model_dir)
     except (FileNotFoundError, ImportError):
-        return ByteTokenizer()
+        import warnings
+
+        tok = ByteTokenizer()
+        warnings.warn(tok.warning, stacklevel=2)
+        return tok

@@ -73,6 +73,27 @@ def test_fused_matches_xla_quantized():
     assert jnp.array_equal(ref, got)
 
 
+def test_fused_matches_xla_bf16_quantized():
+    """Production config class (bf16 + int8): the head logits must round
+    through cfg.dtype exactly like quant.linear does on the XLA path, or
+    greedy argmax diverges on near-tie logits (ADVICE r1, medium)."""
+    cfg = PredictorConfig(
+        hidden=32, n_layers=2, n_q_heads=2, n_kv_heads=2, head_dim=16,
+        ffn_dim=64, max_seq=32, mrope_sections=(8, 0, 0, 0),
+        dtype="bfloat16",
+    )
+    params, assets, ptab, key = _setup(cfg, seed=4)
+    params_q = quant.quantize_decoder_params(params)
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (2, cfg.hidden), jnp.float32)
+    code0 = jnp.array([8, 41], jnp.int32)
+
+    ref = predictor.frame_codes(params_q, cfg, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params_q, cfg, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got), (ref, got)
+
+
 def test_fused_oob_code0_uses_bias_row():
     # codec_embedding clamps OOB rows to zeros, so codec_embedding_1024
     # becomes just the projection bias; ptab's padded rows must reproduce it
