@@ -67,10 +67,32 @@ class ServingEngine:
         self._vstate = vocoder.init_state(cfg.vocoder, max_streams)
 
         sc = engine.sampler_config
-        self._prefill_fn, self._step_fn = generate.make_stream_fns(
-            tcfg, cfg.predictor, top_k=sc.top_k,
-            frames_per_call=chunk_frames,
-            fused_rows=getattr(engine, "_fused_rows", 0))
+        if (chunk_frames == P.STREAM_CHUNK_FRAMES
+                and hasattr(engine, "_get_stream_fns")):
+            # share the engine's memoised pair so warmup_streaming() compiles
+            # carry over to serving
+            self._prefill_fn, self._step_fn = engine._get_stream_fns()
+        else:
+            self._prefill_fn, self._step_fn = generate.make_stream_fns(
+                tcfg, cfg.predictor, top_k=sc.top_k,
+                frames_per_call=chunk_frames,
+                fused_rows=getattr(engine, "_fused_rows", 0))
+
+    def warmup(self) -> None:
+        """Precompile the serving-batch step (per-row slot vector state — a
+        different program than single-stream) + the chunk vocoder + the
+        single-row prefill used at admission."""
+        st = self._blank_state()
+        st, codes, active = self._step_fn(self.engine.models, st)
+        jax.block_until_ready((codes, active))
+        wav, _, _ = vocoder.decode(
+            self.engine.vocoder_params, self.cfg.vocoder,
+            jnp.zeros((self.B, self.chunk_frames, P.NUM_CODEBOOKS),
+                      jnp.int32),
+            vocoder.init_state(self.cfg.vocoder, self.B), False)
+        jax.block_until_ready(wav)
+        # admission-time prefill compiles per prompt bucket
+        self.engine.warmup_streaming(batch=1)
 
     # ------------------------------------------------------------------ admit
     def _blank_state(self):
@@ -103,6 +125,9 @@ class ServingEngine:
 
         try:
             data = self.engine._prompt_for_voice(text, voice, instruct)
+            # rejects admissions whose prompt alone fills the talker context
+            # (n_ctx=4096, src/tts/engine.rs:133): no room for even 1 frame
+            batch1, offs1 = self.engine._pad_prompts([data.embeds])
         except Exception as e:   # bad voice/text must not poison the batch
             self.slots.release(slot)
             s = _Stream(stream_id=sid, slot=-1, on_chunk=on_chunk,
@@ -111,7 +136,6 @@ class ServingEngine:
                                    sample_rate=P.SAMPLE_RATE, channels=1)
             self.streams[sid] = s
             return sid
-        batch1, offs1 = prompt.pad_batch([data.embeds])
         key = self.engine._seed_key()
         sc = self.engine.sampler_config
         st1 = self._prefill_fn(
@@ -148,9 +172,16 @@ class ServingEngine:
                 (self.B, self.chunk_frames * self.cfg.vocoder.frame_samples),
                 np.float32)
 
+        # per-stream frame cap: --max-steps AND the vocoder's streaming KV
+        # capacity. A live row's vocoder state advances chunk_frames per tick
+        # whether or not the generator emitted a full chunk, so a stream must
+        # end while ceil(frames/chunk)*chunk still fits max_frames — hence
+        # the `- chunk_frames` headroom (VERDICT r1 #5).
+        frame_cap = min(self.engine.max_steps,
+                        self.cfg.vocoder.max_frames - self.chunk_frames)
         for slot, sid in list(self._slot_stream.items()):
             s = self.streams[sid]
-            k = int(n_new[slot])
+            k = min(int(n_new[slot]), max(frame_cap - s.frames, 0))
             if k > 0:
                 piece = wav[slot, : k * self.cfg.vocoder.frame_samples]
                 s.pieces.append(piece)
@@ -158,7 +189,7 @@ class ServingEngine:
                 self.slots.mark_frames(slot, k)
                 if s.on_chunk is not None:
                     s.on_chunk(piece)
-            max_hit = s.frames >= self.engine.max_steps
+            max_hit = s.frames >= frame_cap
             if bool(done[slot]) or max_hit:
                 s.done = True
                 s.result = AudioSample(

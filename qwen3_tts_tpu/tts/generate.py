@@ -114,7 +114,13 @@ def _frame_body(
         state["logits"], sub, state["temperature"], top_k, state["top_p"]
     )
     eos = _is_eos(code0)
-    done = state["done"] | eos
+    # context cap (reference n_ctx, src/tts/engine.rs:133): a frame needs a
+    # cache slot for its feedback token — rows whose next write position is
+    # past the cache stop cleanly instead of clamp-corrupting the last slot.
+    # `slot` is scalar (single/stream) or [B] (continuous batching); both
+    # broadcast against done [B].
+    ctx_full = state["slot"] >= talker_cfg.max_seq
+    done = state["done"] | eos | ctx_full
     active = ~done                                            # emits a frame
 
     h1024 = models["assets"].project(state["hidden"].astype(jnp.float32))
@@ -122,9 +128,13 @@ def _frame_body(
     codes = jnp.where(active[:, None], codes, 0)
 
     fb = _feedback_embedding(models["assets"], codes, talker_cfg.hidden)
+    # done rows keep being stepped (batch-shared program); clamping their
+    # write position to the last slot only ever touches rows that are
+    # already done, so live rows never see a corrupted cache.
+    write_slot = jnp.minimum(state["slot"], talker_cfg.max_seq - 1)
     hidden, logits, cache = talker.step(
         models["talker"], talker_cfg, fb.astype(jnp.dtype(talker_cfg.dtype)),
-        state["slot"], state["pad_offset"], state["cache"],
+        write_slot, state["pad_offset"], state["cache"],
     )
 
     new_state = dict(
@@ -133,7 +143,7 @@ def _frame_body(
         hidden=hidden,
         logits=logits,
         cache=cache,
-        slot=state["slot"] + 1,
+        slot=jnp.minimum(state["slot"] + 1, talker_cfg.max_seq),
         step=state["step"] + 1,
         done=done,
         n_frames=state["n_frames"] + active.astype(jnp.int32),

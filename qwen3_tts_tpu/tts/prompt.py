@@ -170,16 +170,21 @@ def build_custom_prompt(
 PROMPT_BUCKET = 64
 
 
-def pad_batch(prompts: Sequence[jax.Array], bucket: int = PROMPT_BUCKET):
+def pad_batch(prompts: Sequence[jax.Array], bucket: int = PROMPT_BUCKET,
+              cap: int | None = None):
     """LEFT-pad a ragged list of [S_i, dim] prompts to one [B, S_max, dim]
     batch + pad offsets [B] (consumed by talker.prefill's kv_valid_from).
 
     S_max rounds up to a multiple of `bucket`, so prompts of similar length
     share one compiled prefill/generation program instead of recompiling the
     fused while_loop for every distinct text length (pad slots are fully
-    masked, so results are invariant — tested)."""
+    masked, so results are invariant — tested). `cap` bounds S_max from above
+    (but never below the longest prompt) so bucket padding cannot consume
+    context slots the generation loop needs."""
     s_raw = max(int(p.shape[0]) for p in prompts)
     s_max = ((s_raw + bucket - 1) // bucket) * bucket if bucket > 1 else s_raw
+    if cap is not None:
+        s_max = max(s_raw, min(s_max, cap))
     dim = int(prompts[0].shape[1])
     out = np.zeros((len(prompts), s_max, dim), np.float32)
     offs = np.zeros((len(prompts),), np.int32)

@@ -93,3 +93,35 @@ def test_sample_slice_offsets():
         limit_start=5 * 2048, limit_end=6 * 2048,
     )
     assert int(out) == 5 * 2048 + 77
+
+
+def test_rng_policy_golden_vectors():
+    """Pin the full sampled-path decision sequence (VERDICT r1 #9).
+
+    The documented RNG policy is: threefry2x32 `jax.random` keys threaded by
+    split(), with the reference's slice->top-k->softmax->top-p->multinomial
+    pipeline (src/models/llama/mod.rs:666-772) implemented over
+    jax.random.categorical. These golden draws (generated on jax 0.9.0, CPU)
+    must stay stable across JAX upgrades — threefry is a stability-guaranteed
+    PRNG — so seeded generations remain reproducible release to release.
+    """
+    v = 2160
+    i = np.arange(v, dtype=np.float64)
+    logits = jnp.asarray(np.sin(i * 0.37) * 4.0 + np.cos(i * 0.011) * 2.0,
+                         jnp.float32)[None]
+
+    key = jax.random.key(42)
+    draws = []
+    for _ in range(20):
+        key, sub = jax.random.split(key)
+        draws.append(int(sampling.sample(logits, sub, 0.7, 40, 0.9)[0]))
+    assert draws == [1703, 21, 565, 1703, 531, 1193, 1159, 1736, 21, 38,
+                     564, 1125, 1193, 565, 565, 1720, 4, 1702, 1141, 1685]
+
+    key = jax.random.key(7)
+    draws7 = []
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        draws7.append(int(sampling.sample(logits * 0.5, sub, 1.0, 0,
+                                          0.95)[0]))
+    assert draws7 == [1599, 1058, 395, 1275, 313, 564, 633, 38, 788, 1720]
