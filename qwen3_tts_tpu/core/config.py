@@ -101,13 +101,14 @@ class VocoderConfig:
     head_dim: int = 64
     ffn_dim: int = 4096
     pre_conv_kernel: int = 3    # causal conv over frames, embed -> hidden
-    post_conv_kernel: int = 7   # two causal post-net convs, hidden -> hidden
-    # ISTFT head: each frame emits `subframes` spectral slices that
-    # overlap-add at `hop` samples with an `n_fft` Hann window
-    # (subframes * hop == frame_samples == 2000).
-    subframes: int = 8
-    hop: int = 250
-    n_fft: int = 1000
+    post_conv_kernel: int = 3   # causal post-net conv, hidden -> hidden
+    # centered post-conv lookahead (frames): the source of the reference's
+    # variable `valid_samples` / `is_last` flush (src/models/onnx.rs:398-405)
+    lookahead: int = 2
+    # frame-local transposed-conv upsampler strides (product == 2000
+    # samples/frame, src/models/onnx.rs:108-119); kernel == stride, so each
+    # stage is a pure matmul
+    upsample_factors: Tuple[int, ...] = (5, 5, 5, 4, 4)
     frame_samples: int = protocol.FRAME_SAMPLES
     max_frames: int = 1024      # KV capacity in streaming state (covers the
                                 # long-text max-steps=1024 config)
@@ -129,7 +130,9 @@ class MelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SpeakerEncoderConfig:
-    """Mel [1,F,128] -> speaker embedding [2048]."""
+    """Mel [1,F,128] -> speaker embedding [2048]
+    (reference: src/models/onnx.rs:140-163). Conv subsampling + transformer
+    + attentive statistics pooling."""
 
     n_mels: int = 128
     hidden: int = 512
@@ -137,6 +140,7 @@ class SpeakerEncoderConfig:
     n_heads: int = 8
     head_dim: int = 64
     ffn_dim: int = 2048
+    subsample_factors: Tuple[int, ...] = (2, 2)   # mel frames -> tokens
     out_dim: int = protocol.EMBED_DIM
     rms_eps: float = 1e-6
     dtype: str = "float32"
@@ -144,17 +148,21 @@ class SpeakerEncoderConfig:
 
 @dataclasses.dataclass(frozen=True)
 class AudioEncoderConfig:
-    """Waveform [N] -> codes [N // 2000, 16] (reference: src/models/onnx.rs:97-121)."""
+    """Waveform [N] -> codes [N // 2000, 16] (reference:
+    src/models/onnx.rs:97-121). Mirror image of the vocoder: strided
+    downsampling stack (reverse of its upsample_factors) -> transformer ->
+    512-d latent -> 16-stage RVQ against the shared codebooks."""
 
     frame_samples: int = protocol.FRAME_SAMPLES
     num_codebooks: int = protocol.NUM_CODEBOOKS
     code_vocab: int = protocol.CODE_VOCAB
-    hidden: int = 512
-    n_layers: int = 6
-    n_heads: int = 8
+    hidden: int = 1024
+    latent_dim: int = 512        # == VocoderConfig.embed_dim (shared RVQ)
+    n_layers: int = 8
+    n_heads: int = 16
     head_dim: int = 64
-    ffn_dim: int = 2048
-    downsample_factors: Tuple[int, ...] = (5, 5, 5, 4, 4)  # product = 2000
+    ffn_dim: int = 4096
+    downsample_factors: Tuple[int, ...] = (4, 4, 5, 5, 5)  # product = 2000
     rms_eps: float = 1e-6
     dtype: str = "float32"
 
@@ -199,13 +207,15 @@ def tiny_engine_config(max_steps: int = 16) -> EngineConfig:
         ),
         vocoder=VocoderConfig(
             embed_dim=16, hidden=32, n_layers=2, n_heads=2, head_dim=16,
-            ffn_dim=64, subframes=8, hop=250, n_fft=1000, max_frames=32,
+            ffn_dim=64, lookahead=2, upsample_factors=(5, 5, 5, 4, 4),
+            max_frames=32,
         ),
         speaker_encoder=SpeakerEncoderConfig(
             hidden=32, n_layers=1, n_heads=2, head_dim=16, ffn_dim=64,
         ),
         audio_encoder=AudioEncoderConfig(
-            hidden=32, n_layers=1, n_heads=2, head_dim=16, ffn_dim=64,
+            hidden=32, latent_dim=16, n_layers=1, n_heads=2, head_dim=16,
+            ffn_dim=64,
         ),
         max_steps=max_steps,
     )

@@ -1,32 +1,45 @@
 """Audio codec encoder + speaker encoder (voice-cloning front-ends).
 
-TPU-native replacements for the reference's two ONNX sessions
-(`src/models/onnx.rs:82-163`):
+TPU-native implementations of the reference's two ONNX sessions
+(`src/models/onnx.rs:82-163`), with architectures DERIVED from the codec
+structure the decoder pins down rather than invented freely:
 
-  * AudioEncoder:   waveform [N] f32 -> codes [N // 2000, 16] int
-                    (input `input_values [1,N]`, output `audio_codes
-                    [1, T//2000, 16]`, src/models/onnx.rs:97-121);
-  * SpeakerEncoder: waveform -> internal log-mel [F, 128] -> spk_emb [2048]
-                    (src/models/onnx.rs:140-163), mel math in models/mel.py.
+  * AudioEncoder — waveform [N] f32 -> codes [N // 2000, 16]
+    (`input_values [1,N]` -> `audio_codes [1, T//2000, 16]`,
+    src/models/onnx.rs:97-121). The codec is a residual VQ: the decoder
+    reconstructs from a SUM of 16 codebook embeddings (512-d, pinned by
+    pre_conv_history [1,512,T]), so the encoder must end in a 16-stage
+    RVQ against those same codebooks. Pipeline: strided frame-local
+    downsampling stack (kernel == stride: pure matmuls, the mirror image
+    of the vocoder's upsampler) -> bidirectional transformer -> 512-d
+    latent projection -> greedy residual quantization (distance argmin as
+    a matmul, MXU-friendly).
 
-Architectures are fresh TPU-first designs (strided-frame matmul front-ends +
-bidirectional transformer encoders), not ONNX graph replays; the streaming /
-shape contracts match the reference exactly. Both are optional at engine
-load, mirroring the reference's `.ok()` semantics.
+  * SpeakerEncoder — waveform -> log-mel [F,128] (models/mel.py, the
+    hand-rolled librosa-aligned frontend of src/models/onnx.rs:167-320)
+    -> conv subsampling -> bidirectional transformer -> attentive
+    statistics pooling (weighted mean ++ std, the standard speaker-
+    verification head) -> linear to the 2048-d spk_emb consumed by the
+    prompt builder (src/tts/prompt.rs:207-222).
+
+Both are optional at engine load, mirroring the reference's `.ok()`
+semantics (src/tts/engine.rs:107-120). Converters from torch state dicts
+live here (used by tools/convert_weights.py).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..assets import checkpoint
-from ..core.config import AudioEncoderConfig, EngineConfig, MelConfig, SpeakerEncoderConfig
+from ..core.config import (AudioEncoderConfig, EngineConfig, MelConfig,
+                           SpeakerEncoderConfig)
 from . import mel as mel_mod
 from .decoder import rms_norm
 
@@ -70,37 +83,90 @@ def _encoder_stack(params, x, n_heads, head_dim, eps):
     return x
 
 
+# ------------------------------------------------------------------------ RVQ
+def rvq_encode(latents: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Greedy residual vector quantization.
+
+    latents [T, D]; codebooks [Q, V, D] (== the vocoder's embedding tables:
+    the decoder reconstructs from their sum, so encoding is the matching
+    stage-wise nearest-neighbour residual search).
+
+    Returns codes [T, Q] int32. Distance argmin per stage is computed as
+    argmax(r @ cb^T - ||cb||^2/2) — one [T,D]x[D,V] matmul per stage.
+    """
+    Q = codebooks.shape[0]
+    half_norms = 0.5 * jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)
+
+    def stage(residual, q):
+        cb = codebooks[q].astype(jnp.float32)                 # [V, D]
+        scores = residual @ cb.T - half_norms[q][None]        # [T, V]
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        residual = residual - cb[idx]
+        return residual, idx
+
+    _, codes = jax.lax.scan(stage, latents.astype(jnp.float32),
+                            jnp.arange(Q, dtype=jnp.int32))
+    return codes.T                                            # [T, Q]
+
+
 # -------------------------------------------------------------- audio encoder
-def init_audio_encoder(key, cfg: AudioEncoderConfig, scale=0.02):
-    ks = jax.random.split(key, 4)
+def downsample_channels(cfg: AudioEncoderConfig):
+    """Mirror of the vocoder's upsampler schedule: 1 -> ... -> hidden."""
+    chans = [cfg.hidden]
+    c = cfg.hidden
+    for _ in cfg.downsample_factors[:-1]:
+        c = max(32, c // 2)
+        chans.append(c)
+    chans.append(1)
+    return chans[::-1]                       # [1, ..., hidden]
+
+
+def init_audio_encoder(key, cfg: AudioEncoderConfig, scale=0.02,
+                       codebooks: jax.Array | None = None):
+    n_down = len(cfg.downsample_factors)
+    ks = jax.random.split(key, 4 + n_down)
 
     def w(k, shape):
         return (scale * jax.random.normal(k, shape)).astype(jnp.float32)
 
+    chans = downsample_channels(cfg)
+    down = []
+    for i, s in enumerate(cfg.downsample_factors):
+        c_in, c_out = chans[i], chans[i + 1]
+        down.append({
+            "w": w(ks[4 + i], (s * c_in, c_out)),
+            "b": jnp.zeros((c_out,), jnp.float32),
+        })
+    if codebooks is None:
+        codebooks = w(ks[2], (cfg.num_codebooks, cfg.code_vocab,
+                              cfg.latent_dim))
     return {
-        # frame front-end: 2000 raw samples -> hidden (one matmul per frame)
-        "frame_proj": w(ks[0], (cfg.frame_samples, cfg.hidden)),
-        "frame_bias": jnp.zeros((cfg.hidden,)),
+        "down": down,
         "stack": _init_encoder_stack(
-            ks[1], cfg.n_layers, cfg.hidden, cfg.n_heads, cfg.head_dim,
+            ks[0], cfg.n_layers, cfg.hidden, cfg.n_heads, cfg.head_dim,
             cfg.ffn_dim, scale),
         "final_norm": jnp.ones((cfg.hidden,)),
-        # 16 classification heads, one per codebook
-        "code_heads": w(ks[2], (cfg.num_codebooks, cfg.hidden, cfg.code_vocab)),
+        "latent_proj": {"w": w(ks[1], (cfg.hidden, cfg.latent_dim)),
+                        "b": jnp.zeros((cfg.latent_dim,), jnp.float32)},
+        # RVQ codebooks — the same tables the vocoder decodes with
+        "codebooks": jnp.asarray(codebooks, jnp.float32),
     }
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
 def _audio_encode_jit(params, cfg: AudioEncoderConfig, audio: jax.Array,
                       n_frames: int) -> jax.Array:
-    x = audio[: n_frames * cfg.frame_samples].reshape(1, n_frames,
-                                                      cfg.frame_samples)
-    h = x @ params["frame_proj"] + params["frame_bias"]
+    z = audio[: n_frames * cfg.frame_samples].reshape(-1, 1)  # [N, 1]
+    for stage, s in zip(params["down"], cfg.downsample_factors):
+        c_in = z.shape[-1]
+        z = z.reshape(-1, s * c_in) @ stage["w"] + stage["b"]
+        z = jax.nn.gelu(z)
+    h = z[None]                                               # [1, T, hidden]
     h = _encoder_stack(params["stack"], h, cfg.n_heads, cfg.head_dim,
                        cfg.rms_eps)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    logits = jnp.einsum("bth,qhv->btqv", h, params["code_heads"])
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [1, T, 16]
+    lat = h[0] @ params["latent_proj"]["w"] + params["latent_proj"]["b"]
+    return rvq_encode(lat, params["codebooks"])[None]         # [1, T, 16]
 
 
 class AudioEncoder:
@@ -122,30 +188,48 @@ class AudioEncoder:
 
 # ------------------------------------------------------------ speaker encoder
 def init_speaker_encoder(key, cfg: SpeakerEncoderConfig, scale=0.02):
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 6)
 
     def w(k, shape):
         return (scale * jax.random.normal(k, shape)).astype(jnp.float32)
 
+    subs = []
+    c_in = cfg.n_mels
+    for i, s in enumerate(cfg.subsample_factors):
+        subs.append({"w": w(ks[3 + i], (s * c_in, cfg.hidden)),
+                     "b": jnp.zeros((cfg.hidden,), jnp.float32)})
+        c_in = cfg.hidden
     return {
-        "in_proj": w(ks[0], (cfg.n_mels, cfg.hidden)),
+        "sub": subs,
         "stack": _init_encoder_stack(
-            ks[1], cfg.n_layers, cfg.hidden, cfg.n_heads, cfg.head_dim,
+            ks[0], cfg.n_layers, cfg.hidden, cfg.n_heads, cfg.head_dim,
             cfg.ffn_dim, scale),
         "final_norm": jnp.ones((cfg.hidden,)),
-        "out_proj": w(ks[2], (cfg.hidden, cfg.out_dim)),
+        # attentive statistics pooling + output projection
+        "attn_w": w(ks[1], (cfg.hidden, 1)),
+        "out_proj": {"w": w(ks[2], (2 * cfg.hidden, cfg.out_dim)),
+                     "b": jnp.zeros((cfg.out_dim,), jnp.float32)},
     }
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _speaker_encode_jit(params, cfg: SpeakerEncoderConfig,
                         mels: jax.Array) -> jax.Array:
-    h = mels[None] @ params["in_proj"]                       # [1, F, hidden]
-    h = _encoder_stack(params["stack"], h, cfg.n_heads, cfg.head_dim,
+    z = mels                                                  # [F, n_mels]
+    for stage, s in zip(params["sub"], cfg.subsample_factors):
+        F_now, C = z.shape
+        keep = (F_now // s) * s
+        z = z[:keep].reshape(-1, s * C) @ stage["w"] + stage["b"]
+        z = jax.nn.gelu(z)
+    h = _encoder_stack(params["stack"], z[None], cfg.n_heads, cfg.head_dim,
                        cfg.rms_eps)
-    h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    pooled = jnp.mean(h, axis=1)                             # [1, hidden]
-    return (pooled @ params["out_proj"])[0]                  # [out_dim]
+    h = rms_norm(h, params["final_norm"], cfg.rms_eps)[0]     # [T, hidden]
+    # attentive statistics pooling: softmax frame weights -> mean ++ std
+    a = jax.nn.softmax((h @ params["attn_w"])[:, 0])          # [T]
+    mean = jnp.sum(a[:, None] * h, axis=0)
+    var = jnp.sum(a[:, None] * (h - mean) ** 2, axis=0)
+    stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)])
+    return stats @ params["out_proj"]["w"] + params["out_proj"]["b"]
 
 
 class SpeakerEncoder:
@@ -159,7 +243,8 @@ class SpeakerEncoder:
         """wav -> mel [F,128] -> spk_emb [out_dim]
         (src/models/onnx.rs:140-163)."""
         mels = mel_mod.compute_mel(np.asarray(audio, np.float32), self.mel_cfg)
-        if mels.shape[0] == 0:
+        min_frames = int(np.prod(self.cfg.subsample_factors))
+        if mels.shape[0] < min_frames:
             return np.zeros((self.cfg.out_dim,), np.float32)
         emb = _speaker_encode_jit(self.params, self.cfg, jnp.asarray(mels))
         return np.asarray(emb, np.float32)
@@ -182,12 +267,176 @@ def load_encoders(model_dir: str, config: EngineConfig
             SpeakerEncoder(se, config.speaker_encoder, config.mel))
 
 
-def random_encoders(key, config: EngineConfig
+def random_encoders(key, config: EngineConfig, vocoder_params=None
                     ) -> Tuple[AudioEncoder, SpeakerEncoder]:
+    """Seeded random encoders; when vocoder params are given, the RVQ
+    codebooks are TIED to the vocoder's embedding tables (the real codec's
+    structure), making encode/decode a consistent round-trip."""
     k1, k2 = jax.random.split(key)
+    cb = None
+    if vocoder_params is not None:
+        cb = vocoder_params["embed"]
     return (
-        AudioEncoder(init_audio_encoder(k1, config.audio_encoder),
+        AudioEncoder(init_audio_encoder(k1, config.audio_encoder,
+                                        codebooks=cb),
                      config.audio_encoder),
         SpeakerEncoder(init_speaker_encoder(k2, config.speaker_encoder),
                        config.speaker_encoder, config.mel),
     )
+
+
+# ---------------------------------------------------------------- converters
+def convert_audio_encoder_state_dict(sd: Dict[str, np.ndarray],
+                                     cfg: AudioEncoderConfig | None = None
+                                     ) -> Dict[str, Any]:
+    """Torch state dict -> audio-encoder pytree (see tools/convert_weights
+    for the naming convention; strided Conv1d [out, in, k] with k == stride
+    becomes the matmul form [k*in, out])."""
+    cfg = cfg or AudioEncoderConfig()
+
+    def T(name):
+        return np.ascontiguousarray(np.asarray(sd[name], np.float32).T)
+
+    def raw(name):
+        return np.asarray(sd[name], np.float32)
+
+    down = []
+    for i, s in enumerate(cfg.downsample_factors):
+        w = raw(f"encoder.downsample.{i}.weight")    # [out, in, k], k == s
+        c_out, c_in, k = w.shape
+        assert k == s, f"downsample stage {i}: kernel {k} != stride {s}"
+        # y[t, o] = sum_{j,i} x[t*s+j, i] w[o, i, j] -> w2[(j*c_in)+i, o]
+        down.append({
+            "w": np.ascontiguousarray(
+                w.transpose(2, 1, 0).reshape(s * c_in, c_out)),
+            "b": raw(f"encoder.downsample.{i}.bias"),
+        })
+    stack = _convert_stack_sd(sd, "encoder.layers", cfg.n_layers)
+    return {
+        "down": down,
+        "stack": stack,
+        "final_norm": raw("encoder.norm.weight"),
+        "latent_proj": {"w": T("encoder.latent_proj.weight"),
+                        "b": raw("encoder.latent_proj.bias")},
+        "codebooks": np.stack([raw(f"quantizer.codebooks.{q}.weight")
+                               for q in range(cfg.num_codebooks)]),
+    }
+
+
+def convert_speaker_encoder_state_dict(sd: Dict[str, np.ndarray],
+                                       cfg: SpeakerEncoderConfig | None = None
+                                       ) -> Dict[str, Any]:
+    cfg = cfg or SpeakerEncoderConfig()
+
+    def T(name):
+        return np.ascontiguousarray(np.asarray(sd[name], np.float32).T)
+
+    def raw(name):
+        return np.asarray(sd[name], np.float32)
+
+    subs = []
+    for i, s in enumerate(cfg.subsample_factors):
+        w = raw(f"encoder.subsample.{i}.weight")     # [out, in, k], k == s
+        c_out, c_in, k = w.shape
+        assert k == s
+        subs.append({
+            "w": np.ascontiguousarray(
+                w.transpose(2, 1, 0).reshape(s * c_in, c_out)),
+            "b": raw(f"encoder.subsample.{i}.bias"),
+        })
+    stack = _convert_stack_sd(sd, "encoder.layers", cfg.n_layers)
+    return {
+        "sub": subs,
+        "stack": stack,
+        "final_norm": raw("encoder.norm.weight"),
+        "attn_w": T("pooling.attention.weight"),
+        "out_proj": {"w": T("projection.weight"),
+                     "b": raw("projection.bias")},
+    }
+
+
+def _convert_stack_sd(sd, prefix, n_layers):
+    """Bidirectional encoder stack: fused qkv + separate gate/up."""
+
+    def T(name):
+        return np.ascontiguousarray(np.asarray(sd[name], np.float32).T)
+
+    def raw(name):
+        return np.asarray(sd[name], np.float32)
+
+    layers: Dict[str, list] = {k: [] for k in (
+        "ln1", "wqkv", "wo", "ln2", "w_gate", "w_up", "w_down")}
+    for i in range(n_layers):
+        p = f"{prefix}.{i}."
+        layers["ln1"].append(raw(p + "input_layernorm.weight"))
+        layers["wqkv"].append(np.concatenate(
+            [T(p + "self_attn.q_proj.weight"),
+             T(p + "self_attn.k_proj.weight"),
+             T(p + "self_attn.v_proj.weight")], axis=1))
+        layers["wo"].append(T(p + "self_attn.o_proj.weight"))
+        layers["ln2"].append(raw(p + "post_attention_layernorm.weight"))
+        layers["w_gate"].append(T(p + "mlp.gate_proj.weight"))
+        layers["w_up"].append(T(p + "mlp.up_proj.weight"))
+        layers["w_down"].append(T(p + "mlp.down_proj.weight"))
+    return {k: np.stack(v) for k, v in layers.items()}
+
+
+def export_audio_encoder_state_dict(params, cfg: AudioEncoderConfig | None
+                                    = None) -> Dict[str, np.ndarray]:
+    """Inverse of convert_audio_encoder_state_dict (round-trip testing)."""
+    cfg = cfg or AudioEncoderConfig()
+    sd: Dict[str, np.ndarray] = {}
+    for i, s in enumerate(cfg.downsample_factors):
+        w2 = np.asarray(params["down"][i]["w"])      # [s*c_in, c_out]
+        c_out = w2.shape[1]
+        c_in = w2.shape[0] // s
+        sd[f"encoder.downsample.{i}.weight"] = np.ascontiguousarray(
+            w2.reshape(s, c_in, c_out).transpose(2, 1, 0))
+        sd[f"encoder.downsample.{i}.bias"] = np.asarray(
+            params["down"][i]["b"])
+    _export_stack_sd(sd, "encoder.layers", params["stack"])
+    sd["encoder.norm.weight"] = np.asarray(params["final_norm"])
+    sd["encoder.latent_proj.weight"] = np.asarray(
+        params["latent_proj"]["w"]).T
+    sd["encoder.latent_proj.bias"] = np.asarray(params["latent_proj"]["b"])
+    for q in range(cfg.num_codebooks):
+        sd[f"quantizer.codebooks.{q}.weight"] = np.asarray(
+            params["codebooks"][q])
+    return sd
+
+
+def export_speaker_encoder_state_dict(params, cfg: SpeakerEncoderConfig |
+                                      None = None) -> Dict[str, np.ndarray]:
+    cfg = cfg or SpeakerEncoderConfig()
+    sd: Dict[str, np.ndarray] = {}
+    for i, s in enumerate(cfg.subsample_factors):
+        w2 = np.asarray(params["sub"][i]["w"])
+        c_out = w2.shape[1]
+        c_in = w2.shape[0] // s
+        sd[f"encoder.subsample.{i}.weight"] = np.ascontiguousarray(
+            w2.reshape(s, c_in, c_out).transpose(2, 1, 0))
+        sd[f"encoder.subsample.{i}.bias"] = np.asarray(params["sub"][i]["b"])
+    _export_stack_sd(sd, "encoder.layers", params["stack"])
+    sd["encoder.norm.weight"] = np.asarray(params["final_norm"])
+    sd["pooling.attention.weight"] = np.asarray(params["attn_w"]).T
+    sd["projection.weight"] = np.asarray(params["out_proj"]["w"]).T
+    sd["projection.bias"] = np.asarray(params["out_proj"]["b"])
+    return sd
+
+
+def _export_stack_sd(sd, prefix, stack):
+    L = stack["ln1"].shape[0]
+    width = stack["wqkv"].shape[-1] // 3
+    for i in range(L):
+        p = f"{prefix}.{i}."
+        sd[p + "input_layernorm.weight"] = np.asarray(stack["ln1"][i])
+        wqkv = np.asarray(stack["wqkv"][i])
+        sd[p + "self_attn.q_proj.weight"] = wqkv[:, :width].T
+        sd[p + "self_attn.k_proj.weight"] = wqkv[:, width:2 * width].T
+        sd[p + "self_attn.v_proj.weight"] = wqkv[:, 2 * width:].T
+        sd[p + "self_attn.o_proj.weight"] = np.asarray(stack["wo"][i]).T
+        sd[p + "post_attention_layernorm.weight"] = np.asarray(
+            stack["ln2"][i])
+        sd[p + "mlp.gate_proj.weight"] = np.asarray(stack["w_gate"][i]).T
+        sd[p + "mlp.up_proj.weight"] = np.asarray(stack["w_up"][i]).T
+        sd[p + "mlp.down_proj.weight"] = np.asarray(stack["w_down"][i]).T

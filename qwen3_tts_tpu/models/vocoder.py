@@ -1,30 +1,54 @@
 """Streaming vocoder: 16-codebook frames -> 24 kHz waveform.
 
-TPU-native replacement for the reference's opaque ONNX `qwen3_tts_decoder`
-(`src/models/onnx.rs:324-496`). The reference threads carried state through
-every call — `pre_conv_history [1,512,T]`, `latent_buffer [1,1024,T]`,
-`conv_history [1,1024,T]`, and 8 KV pairs `[1,16,T,64]` — which pins the
-shape of the graph: code-embedding sum (512ch) -> conv front-end -> 8-layer /
-16-head / 64-head-dim transformer with carried KV -> conv post-net (1024ch)
--> upsampling head emitting 2000 samples per frame, with an `is_last` flush
-and `valid_samples` trim.
+TPU-native implementation of the reference's stateful ONNX codec decoder
+(`src/models/onnx.rs:324-496`). The architecture is DERIVED from the only
+ground truth available in this container — the graph's carried-state
+signature and call contract — not invented freely:
 
-This implementation keeps that exact *streaming contract* —
-`decode(codes[B,N,16], state, is_last) -> (wav, valid_samples, state)`, with
-chunked decoding bit-identical to one-shot decoding — while making
-TPU-first architecture choices instead of replaying the ONNX graph:
+  carried state (src/models/onnx.rs:461-496)          what it pins
+  ------------------------------------------------   ----------------------
+  pre_conv_history  [1, 512, T]                       a conv over a 512-ch
+                                                      sequence BEFORE the
+                                                      1024-d trunk => code
+                                                      embeddings are 512-d,
+                                                      summed over the 16
+                                                      codebooks (RVQ decode)
+  past_key/value_0..7  [1, 16, T, 64]                 an 8-layer, 16-head,
+                                                      64-head-dim (=1024-d)
+                                                      causal transformer with
+                                                      appended KV
+  latent_buffer  [1, 1024, T]                         1024-ch latents carried
+                                                      ACROSS calls => the
+                                                      post-trunk conv needs
+                                                      future latents (lookahead)
+  conv_history   [1, 1024, T]                         a second, causal 1024-ch
+                                                      conv stage
+  is_last [1], valid_samples (variable!)              a flush + a decode
+  (src/models/onnx.rs:342-458, 398-405)               delay: non-final calls
+                                                      cannot emit the last
+                                                      `lookahead` frames
 
-  * every conv is CAUSAL with a fixed-width carried history (the reference's
-    variable-length buffers become fixed rolling windows, a jit requirement);
-  * the upsampler is an ISTFT head (frame -> 8 overlapping spectral slices,
-    Hann-windowed overlap-add at hop 250, n_fft 1000): pure matmul + irfft,
-    which XLA maps straight onto the MXU/VPU instead of a chain of
-    bandwidth-bound transposed convs;
-  * the overlap-add tail (750 samples) is carried in state so chunk
-    boundaries are exact.
+Pipeline (all shapes [B, ...]; reference is B=1):
 
-Weights are loaded from a converted checkpoint (assets/checkpoint.py); random
-init is provided for tests and benchmarks.
+  codes [B,N,16] --embed-sum--> [B,N,512]
+    --causal pre-conv (K=3, history=pre_conv_history)--> [B,N,1024]
+    --8L/16H/64hd causal transformer (KV cache)--> latents [B,N,1024]
+    --CENTERED conv (K=2*LA+1, left ctx + LA-frame lookahead;
+      pending latents = latent_buffer)--> [B,N+LA,1024]
+    --causal conv (K=3, history=conv_history)--> [B,N+LA,1024]
+    --frame-local transposed-conv stack (strides 5,5,5,4,4 == 2000x,
+      kernel==stride => pure matmuls on the MXU, no carried state)--> wav
+
+`valid_samples` falls out of the lookahead: a non-final call emits
+N - max(LA - frames_done, 0) frames (the first call withholds LA frames;
+later calls emit exactly N); `is_last` zero-pads the lookahead window and
+flushes the remaining LA frames — identically to zero-padded one-shot
+decoding, so chunked output is BIT-EXACT vs one-shot (tested). `is_last` may
+be per-row ([B] bool) for continuous batching; `flush()` drains a stream
+that ends between calls.
+
+Weights load from a converted checkpoint (tools/convert_weights.py has the
+torch-state-dict name map); seeded random init serves tests/benchmarks.
 """
 
 from __future__ import annotations
@@ -35,7 +59,6 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.config import PredictorConfig, VocoderConfig
 from . import decoder
@@ -60,19 +83,20 @@ def transformer_config(cfg: VocoderConfig) -> PredictorConfig:
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class VocoderState:
-    """Carried streaming state (fixed shapes; reference fields preserved)."""
+    """Carried streaming state (fixed shapes; field set == the reference's
+    carried tensors, src/models/onnx.rs:461-496 — `frames_done` stands in
+    for the reference's growing time dimension)."""
 
     pre_conv_history: jax.Array   # [B, embed_dim, pre_k-1]
-    latent_buffer: jax.Array      # [B, hidden, post_k-1]
+    latent_buffer: jax.Array      # [B, hidden, 2*lookahead]
     conv_history: jax.Array       # [B, hidden, post_k-1]
-    kv: Dict[str, jax.Array]      # decoder cache [L, B, max_frames, H, hd]
+    kv: Dict[str, jax.Array]      # decoder cache [L, B, H, max_frames, hd]
     frames_done: jax.Array        # [B] int32 (per row: continuous batching)
-    ola_tail: jax.Array           # [B, n_fft - hop] overlap-add carry
 
     def tree_flatten(self):
         return (
             (self.pre_conv_history, self.latent_buffer, self.conv_history,
-             self.kv, self.frames_done, self.ola_tail),
+             self.kv, self.frames_done),
             None,
         )
 
@@ -83,181 +107,244 @@ class VocoderState:
 
 def init_state(cfg: VocoderConfig, batch: int) -> VocoderState:
     """Zero state == the reference's empty (length-0) buffers
-    (src/models/onnx.rs:474-495): causal zero-padding at stream start."""
+    (src/models/onnx.rs:474-495): zero-padding at stream start."""
     tcfg = transformer_config(cfg)
     return VocoderState(
         pre_conv_history=jnp.zeros(
             (batch, cfg.embed_dim, cfg.pre_conv_kernel - 1), jnp.float32),
         latent_buffer=jnp.zeros(
-            (batch, cfg.hidden, cfg.post_conv_kernel - 1), jnp.float32),
+            (batch, cfg.hidden, 2 * cfg.lookahead), jnp.float32),
         conv_history=jnp.zeros(
             (batch, cfg.hidden, cfg.post_conv_kernel - 1), jnp.float32),
         kv=decoder.init_kv_cache(tcfg, batch, dtype=jnp.float32),
         frames_done=jnp.zeros((batch,), jnp.int32),
-        ola_tail=jnp.zeros((batch, cfg.n_fft - cfg.hop), jnp.float32),
     )
 
 
 def init_vocoder(key: jax.Array, cfg: VocoderConfig,
                  scale: float = 0.02) -> Dict[str, Any]:
-    ks = jax.random.split(key, 6)
-    n_bins = cfg.n_fft // 2 + 1
-    head_out = cfg.subframes * 2 * n_bins
+    n_up = len(cfg.upsample_factors)
+    ks = jax.random.split(key, 6 + n_up)
 
     def w(k, shape):
         return (scale * jax.random.normal(k, shape)).astype(jnp.float32)
 
+    chans = _upsample_channels(cfg)
+    up = []
+    for i, s in enumerate(cfg.upsample_factors):
+        c_in, c_out = chans[i], chans[i + 1]
+        up.append({
+            "w": w(ks[6 + i], (c_in, s * c_out)),
+            "b": jnp.zeros((s * c_out,), jnp.float32),
+        })
+    la = cfg.lookahead
     return {
         "embed": w(ks[0], (cfg.num_codebooks, cfg.code_vocab, cfg.embed_dim)),
         "pre_conv": {
             "w": w(ks[1], (cfg.hidden, cfg.embed_dim, cfg.pre_conv_kernel)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
         },
-        "transformer": decoder.init_decoder(ks[2], transformer_config(cfg), scale),
-        "post1": {
-            "w": w(ks[3], (cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
+        "transformer": decoder.init_decoder(ks[2], transformer_config(cfg),
+                                            scale),
+        "post_a": {   # centered conv: LA left context + LA lookahead
+            "w": w(ks[3], (cfg.hidden, cfg.hidden, 2 * la + 1)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
         },
-        "post2": {
+        "post_b": {   # causal conv
             "w": w(ks[4], (cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
         },
-        "head": {
-            "w": w(ks[5], (cfg.hidden, head_out)),
-            "b": jnp.zeros((head_out,), jnp.float32),
-        },
+        "up": up,
     }
 
 
-def _causal_conv(x: jax.Array, history: jax.Array, w: jax.Array,
-                 b: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """x [B, C, T] with carried left-context `history` [B, C, K-1].
+def _upsample_channels(cfg: VocoderConfig):
+    """Channel schedule 1024 -> ... -> 1, halving per stage (floor 32)."""
+    chans = [cfg.hidden]
+    c = cfg.hidden
+    for _ in cfg.upsample_factors[:-1]:
+        c = max(32, c // 2)
+        chans.append(c)
+    chans.append(1)
+    return chans
 
-    Returns (y [B, Cout, T], new_history = last K-1 columns of the padded
-    input)."""
-    K = w.shape[-1]
-    xin = jnp.concatenate([history, x], axis=-1)
-    y = jax.lax.conv_general_dilated(
-        xin, w, window_strides=(1,), padding="VALID",
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """VALID conv, channels-first: x [B,Cin,T], w [Cout,Cin,K]."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
     ) + b[None, :, None]
-    new_hist = xin[..., xin.shape[-1] - (K - 1):] if K > 1 else history
-    return y, new_hist
 
 
-@functools.lru_cache(maxsize=8)
-def _ola_constants(n_fft: int, hop: int):
-    """Hann window + steady-state window-sum envelope (per hop position)."""
-    n = np.arange(n_fft)
-    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))      # periodic Hann
-    ratio = n_fft // hop
-    env = np.zeros(hop)
-    for k in range(ratio):
-        env += win[k * hop:(k + 1) * hop]
-    env = np.maximum(env, 1e-8)
-    # numpy (not jnp): jnp outputs would cache tracers across jit traces
-    return win.astype(np.float32), env.astype(np.float32)
+def _upsample(params, cfg: VocoderConfig, lat: jax.Array) -> jax.Array:
+    """Frame-local upsampler: [B, M, hidden] -> [B, M*2000] waveform.
+
+    Each stage is a transposed conv with kernel == stride, i.e. a single
+    matmul [.., C_in] @ [C_in, s*C_out] followed by a reshape that
+    interleaves the s output positions — the whole 2000x upsampling runs on
+    the MXU with zero HBM-bound conv windows and zero carried state."""
+    B, M, _ = lat.shape
+    z = lat
+    n = len(params["up"])
+    for i, (stage, s) in enumerate(zip(params["up"], cfg.upsample_factors)):
+        z = z @ stage["w"] + stage["b"]              # [B, T, s*C_out]
+        c_out = stage["w"].shape[1] // s
+        z = z.reshape(B, z.shape[1] * s, c_out)
+        z = jnp.tanh(z) if i == n - 1 else jax.nn.gelu(z)
+    return z[..., 0]                                 # [B, M*2000]
 
 
-def _istft_ola(frames_td: jax.Array, tail: jax.Array, n_fft: int,
-               hop: int) -> Tuple[jax.Array, jax.Array]:
-    """Overlap-add of windowed time-domain slices.
+def _post_stage(
+    params, cfg: VocoderConfig,
+    h_new: jax.Array,            # [B, N, hidden] new transformer latents
+    state: VocoderState,
+    is_last: jax.Array,          # [B] int32 (0/1)
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Lookahead post-net + upsampler shared by decode() and flush().
 
-    frames_td: [B, M, n_fft] already windowed; tail: [B, n_fft - hop] carry.
-    Returns (samples [B, M*hop], new_tail [B, n_fft - hop]).
+    Returns (wav [B,(N+LA)*F], valid [B], new_latent_buffer, new_conv_hist).
     """
-    B, M, _ = frames_td.shape
-    ratio = n_fft // hop
-    # split each slice into `ratio` hop-sized segments
-    segs = frames_td.reshape(B, M, ratio, hop)
-    # output block t (length hop) = sum_k segs[t - k, k]
-    total = jnp.zeros((B, M + ratio - 1, hop), jnp.float32)
-    for k in range(ratio):
-        total = total.at[:, k:k + M].add(segs[:, :, k])
-    flat = total.reshape(B, (M + ratio - 1) * hop)
-    # fold in carried tail from the previous chunk
-    flat = flat.at[:, : n_fft - hop].add(tail)
-    emit = flat[:, : M * hop]
-    new_tail = flat[:, M * hop:]
-    _, env = _ola_constants(n_fft, hop)
-    emit = emit / jnp.asarray(np.tile(env, M))
-    return emit, new_tail
+    B, N, H = h_new.shape
+    la = cfg.lookahead
+    kb = cfg.post_conv_kernel
+    fd = state.frames_done                                    # [B]
+
+    hc = jnp.swapaxes(h_new, 1, 2)                            # [B, H, N]
+    # centered conv over [pending(2LA) | new(N) | zero lookahead(LA)]:
+    # VALID K=2LA+1 -> N+LA outputs at global frame indices fd-LA .. fd+N-1
+    a_in = jnp.concatenate(
+        [state.latent_buffer, hc, jnp.zeros((B, H, la), jnp.float32)],
+        axis=-1)
+    a_out = jax.nn.gelu(_conv1d(a_in, params["post_a"]["w"],
+                                params["post_a"]["b"]))       # [B,H,N+LA]
+    # zero outputs at negative global indices: they are artifacts of the
+    # rolling window at stream start — one-shot decoding has no such
+    # positions, and conv_b's left context there must be the zero pad
+    g = (fd[:, None] - la) + jnp.arange(N + la, dtype=jnp.int32)[None]
+    a_out = jnp.where((g >= 0)[:, None, :], a_out, 0.0)
+
+    b_in = jnp.concatenate([state.conv_history, a_out], axis=-1)
+    b_out = jax.nn.gelu(_conv1d(b_in, params["post_b"]["w"],
+                                params["post_b"]["b"]))       # [B,H,N+LA]
+
+    # per-row left-alignment: computed outputs start at global fd-LA, but
+    # emission starts at max(fd-LA, 0) — shift off the first
+    # max(LA-fd, 0) spurious rows (nonzero only near stream start)
+    shift = jnp.clip(la - fd, 0, la)                          # [B]
+    lat = jnp.swapaxes(b_out, 1, 2)                           # [B, N+LA, H]
+    idx = (jnp.arange(N + la, dtype=jnp.int32)[None] + shift[:, None]) \
+        % (N + la)
+    lat = jnp.take_along_axis(lat, idx[:, :, None], axis=1)
+
+    wav = _upsample(params, cfg, lat)                         # [B,(N+LA)*F]
+
+    # emitted frames this call: everything finalized beyond what previous
+    # calls emitted; final calls flush the LA-frame lookahead window
+    emitted_before = jnp.maximum(fd - la, 0)
+    total = fd + N
+    emit_now = jnp.where(is_last > 0, total,
+                         jnp.maximum(total - la, 0)) - emitted_before
+    valid = jnp.maximum(emit_now, 0) * cfg.frame_samples      # [B]
+
+    # pending window: last 2LA latents fed so far (zero-left-padded)
+    new_latbuf = jnp.concatenate([state.latent_buffer, hc],
+                                 axis=-1)[..., -(2 * la):] if la > 0 \
+        else state.latent_buffer
+    # causal history: last K_b-1 REAL (non-flush) masked conv_a outputs
+    hist_src = jnp.concatenate([state.conv_history, a_out[..., :N]], axis=-1)
+    new_hist = hist_src[..., -(kb - 1):] if kb > 1 else state.conv_history
+    return wav, valid, new_latbuf, new_hist
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode(
     params: Dict[str, Any],
     cfg: VocoderConfig,
-    codes: jax.Array,            # [B, N, 16] int32, clamped by caller to [0,2048)
+    codes: jax.Array,            # [B, N, 16] int32
     state: VocoderState,
     is_last: jax.Array | bool = False,
 ) -> Tuple[jax.Array, jax.Array, VocoderState]:
-    """Decode N frames. Returns (wav [B, N*2000], valid_samples [B], state).
+    """Decode N frames against carried state.
 
-    Matches the reference call contract (src/models/onnx.rs:342-458); with the
-    causal architecture every frame is fully determined when submitted, so
-    valid_samples is always N*2000 and `is_last` only marks stream end.
+    Returns (wav [B, (N+lookahead)*2000], valid_samples [B], new state) —
+    callers consume wav[:, :valid] exactly like the reference trims to
+    `valid_samples` (src/models/onnx.rs:398-405). `is_last` (scalar or [B])
+    flushes the lookahead window.
     """
-    del is_last  # causal design: nothing held back to flush
     B, N, Q = codes.shape
     if Q != cfg.num_codebooks:
         raise ValueError(
             f"codes must have {cfg.num_codebooks} codebooks, got {Q}")
     codes = jnp.clip(codes, 0, cfg.code_vocab - 1)
+    last_vec = jnp.broadcast_to(
+        jnp.asarray(is_last, jnp.int32).astype(jnp.int32), (B,))
 
-    # 1. codebook embedding sum -> [B, N, embed_dim]
+    # 1. codebook embedding sum (RVQ decode) -> [B, N, embed_dim]
     q_idx = jnp.arange(Q, dtype=jnp.int32)
-    emb = params["embed"][q_idx[None, None], codes]          # [B, N, 16, E]
+    emb = params["embed"][q_idx[None, None], codes]           # [B, N, 16, E]
     x = jnp.sum(emb, axis=2)
 
     # 2. causal pre-conv over frames (channels-first)
-    xc = jnp.swapaxes(x, 1, 2)                               # [B, E, N]
-    y, pre_hist = _causal_conv(
-        xc, state.pre_conv_history, params["pre_conv"]["w"],
-        params["pre_conv"]["b"])
-    y = jax.nn.gelu(y)
+    xc = jnp.swapaxes(x, 1, 2)                                # [B, E, N]
+    pre_in = jnp.concatenate([state.pre_conv_history, xc], axis=-1)
+    y = jax.nn.gelu(_conv1d(pre_in, params["pre_conv"]["w"],
+                            params["pre_conv"]["b"]))
+    kp = cfg.pre_conv_kernel
+    new_pre = pre_in[..., -(kp - 1):] if kp > 1 else state.pre_conv_history
 
     # 3. transformer with carried KV (global positions = frames_done + i)
     tcfg = transformer_config(cfg)
-    h_in = jnp.swapaxes(y, 1, 2)                             # [B, N, hidden]
+    h_in = jnp.swapaxes(y, 1, 2)                              # [B, N, hidden]
     pos = state.frames_done[:, None] + jnp.arange(N, dtype=jnp.int32)[None]
     h, _, kv = decoder.forward(
         params["transformer"], tcfg, h_in, pos, state.kv,
         state.frames_done, with_logits=False,
     )
 
-    # 4. causal post-net
-    hc = jnp.swapaxes(h, 1, 2)
-    p1, lat_hist = _causal_conv(
-        hc, state.latent_buffer, params["post1"]["w"], params["post1"]["b"])
-    p1 = jax.nn.gelu(p1)
-    p2, conv_hist = _causal_conv(
-        p1, state.conv_history, params["post2"]["w"], params["post2"]["b"])
-    p2 = jax.nn.gelu(p2)
-    latents = jnp.swapaxes(p2, 1, 2)                         # [B, N, hidden]
-
-    # 5. ISTFT head: [B, N, hidden] -> [B, N*subframes, 2*n_bins]
-    n_bins = cfg.n_fft // 2 + 1
-    spec = latents @ params["head"]["w"] + params["head"]["b"]
-    spec = spec.reshape(B, N * cfg.subframes, 2, n_bins)
-    mag = jnp.exp(jnp.clip(spec[:, :, 0], -14.0, 14.0))
-    phase = spec[:, :, 1]
-    real = mag * jnp.cos(phase)
-    imag = mag * jnp.sin(phase)
-    td = jnp.fft.irfft(real + 1j * imag, n=cfg.n_fft, axis=-1)
-    win, _ = _ola_constants(cfg.n_fft, cfg.hop)
-    td = td * jnp.asarray(win)[None, None, :]
-
-    wav, tail = _istft_ola(td.astype(jnp.float32), state.ola_tail,
-                           cfg.n_fft, cfg.hop)
+    # 4. lookahead post-net + frame-local upsampler
+    wav, valid, new_latbuf, new_hist = _post_stage(
+        params, cfg, h.astype(jnp.float32), state, last_vec)
 
     new_state = VocoderState(
-        pre_conv_history=pre_hist,
-        latent_buffer=lat_hist,
-        conv_history=conv_hist,
+        pre_conv_history=new_pre,
+        latent_buffer=new_latbuf,
+        conv_history=new_hist,
         kv=kv,
         frames_done=state.frames_done + N,
-        ola_tail=tail,
     )
-    valid = jnp.full((B,), N * cfg.frame_samples, jnp.int32)
     return wav, valid, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def flush(
+    params: Dict[str, Any],
+    cfg: VocoderConfig,
+    state: VocoderState,
+) -> Tuple[jax.Array, jax.Array, VocoderState]:
+    """Drain the lookahead window with no new frames (the N=0 `is_last`
+    call): returns (wav [B, lookahead*2000], valid [B], dead state). Used
+    when a stream ends between batched decode calls (serving)."""
+    B = state.frames_done.shape[0]
+    h0 = jnp.zeros((B, 0, cfg.hidden), jnp.float32)
+    wav, valid, new_latbuf, new_hist = _post_stage(
+        params, cfg, h0, state, jnp.ones((B,), jnp.int32))
+    new_state = VocoderState(
+        pre_conv_history=state.pre_conv_history,
+        latent_buffer=new_latbuf,
+        conv_history=new_hist,
+        kv=state.kv,
+        frames_done=state.frames_done,
+    )
+    return wav, valid, new_state
+
+
+def gather_row(state: VocoderState, row: int) -> VocoderState:
+    """Extract one batch row as a B=1 state (serving flush-on-completion)."""
+    return VocoderState(
+        pre_conv_history=state.pre_conv_history[row:row + 1],
+        latent_buffer=state.latent_buffer[row:row + 1],
+        conv_history=state.conv_history[row:row + 1],
+        kv={k: v[:, row:row + 1] for k, v in state.kv.items()},
+        frames_done=state.frames_done[row:row + 1],
+    )

@@ -38,6 +38,7 @@ class VocoderPipeline:
         self.state = vocoder.init_state(cfg, batch)
         self.pieces: List[np.ndarray] = []
         self.error: Optional[BaseException] = None
+        self._flushed = False
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -58,7 +59,17 @@ class VocoderPipeline:
                     wav, valid, self.state = vocoder.decode(
                         self.params, self.cfg, jnp.asarray(codes),
                         self.state, is_final)
-                    piece = np.asarray(wav)[0, : int(valid[0])]
+                    self._flushed = is_final
+                elif is_final:
+                    # stream ended between chunks: drain the lookahead
+                    # window (the reference's N=0 is_last call)
+                    wav, valid, self.state = vocoder.flush(
+                        self.params, self.cfg, self.state)
+                    self._flushed = True
+                else:
+                    continue
+                piece = np.asarray(wav)[0, : int(valid[0])]
+                if piece.size:
                     self.pieces.append(piece)
                     if self.on_chunk is not None:
                         self.on_chunk(piece)
@@ -69,6 +80,10 @@ class VocoderPipeline:
 
     def close(self) -> np.ndarray:
         """Flush, join, and return the concatenated waveform."""
+        if not self._flushed:
+            # emit any withheld lookahead frames before shutting down
+            self._q.put((np.zeros((self.state.frames_done.shape[0], 0, 16),
+                                  np.int32), True))
         self._q.put(None)
         self._thread.join()
         if self.error is not None:

@@ -35,7 +35,7 @@ def parallel_test_config(max_steps: int = 4) -> EngineConfig:
         ),
         vocoder=VocoderConfig(
             embed_dim=16, hidden=32, n_layers=2, n_heads=4, head_dim=8,
-            ffn_dim=64, subframes=8, hop=250, n_fft=1000, max_frames=16,
+            ffn_dim=64, lookahead=2, max_frames=16,
         ),
         max_steps=max_steps,
     )

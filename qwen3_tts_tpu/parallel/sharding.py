@@ -76,7 +76,9 @@ def vocoder_param_specs() -> Dict[str, Any]:
         "embed": P(),
         "pre_conv": conv,
         "transformer": decoder_param_specs(),
-        "post1": conv,
-        "post2": conv,
-        "head": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+        "post_a": conv,
+        "post_b": conv,
+        # transposed-conv matmul stages: shard the wide output columns
+        "up": [{"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}
+               for _ in range(5)],
     }

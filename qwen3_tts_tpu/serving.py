@@ -41,7 +41,8 @@ class _Stream:
     slot: int
     on_chunk: Optional[Callable[[np.ndarray], None]]
     pieces: List[np.ndarray] = dataclasses.field(default_factory=list)
-    frames: int = 0
+    frames: int = 0              # generated frames kept (cap-clamped)
+    emitted: int = 0             # waveform samples emitted so far
     done: bool = False
     result: Optional[AudioSample] = None
     error: Optional[str] = None
@@ -159,18 +160,24 @@ class ServingEngine:
         active = np.asarray(active)         # [B, chunk]
         done = np.asarray(self._state["done"])
 
-        # vocode all slots in one batched call, then trim per stream
+        # vocode all slots in one batched call, then trim per stream by the
+        # per-row valid_samples (the vocoder withholds its lookahead window:
+        # emission lags generation by `lookahead` frames until the flush)
+        fs = self.cfg.vocoder.frame_samples
         n_new = active.sum(axis=1)          # frames per slot this tick
         if n_new.max(initial=0) > 0:
             chunk = jnp.asarray(codes[:, : self.chunk_frames], jnp.int32)
-            wav, _, self._vstate = vocoder.decode(
+            wav, valid, self._vstate = vocoder.decode(
                 self.engine.vocoder_params, self.cfg.vocoder, chunk,
                 self._vstate, False)
             wav = np.asarray(wav)
+            valid = np.asarray(valid)
         else:
             wav = np.zeros(
-                (self.B, self.chunk_frames * self.cfg.vocoder.frame_samples),
+                (self.B,
+                 (self.chunk_frames + self.cfg.vocoder.lookahead) * fs),
                 np.float32)
+            valid = np.zeros((self.B,), np.int64)
 
         # per-stream frame cap: --max-steps AND the vocoder's streaming KV
         # capacity. A live row's vocoder state advances chunk_frames per tick
@@ -183,14 +190,18 @@ class ServingEngine:
             s = self.streams[sid]
             k = min(int(n_new[slot]), max(frame_cap - s.frames, 0))
             if k > 0:
-                piece = wav[slot, : k * self.cfg.vocoder.frame_samples]
-                s.pieces.append(piece)
                 s.frames += k
                 self.slots.mark_frames(slot, k)
-                if s.on_chunk is not None:
-                    s.on_chunk(piece)
+            self._emit(s, slot, wav[slot], int(valid[slot]))
             max_hit = s.frames >= frame_cap
             if bool(done[slot]) or max_hit:
+                # drain the row's withheld lookahead frames (the per-stream
+                # analog of the reference's is_last call)
+                fwav, fvalid, _ = vocoder.flush(
+                    self.engine.vocoder_params, self.cfg.vocoder,
+                    vocoder.gather_row(self._vstate, slot))
+                self._emit(s, slot, np.asarray(fwav)[0],
+                           int(np.asarray(fvalid)[0]))
                 s.done = True
                 s.result = AudioSample(
                     samples=(np.concatenate(s.pieces) if s.pieces
@@ -203,6 +214,21 @@ class ServingEngine:
                 self._state["done"] = jnp.asarray(
                     np.asarray(self._state["done"]) | _onehot(slot, self.B))
         return self.slots.active()
+
+    def _emit(self, s: _Stream, slot: int, row_wav: np.ndarray,
+              valid: int) -> None:
+        """Append finalized samples, clamped so a stream never emits past its
+        kept-frame budget (frames beyond EOS / the cap were still fed to the
+        batched vocoder, but their samples sit past the budget and are
+        dropped here)."""
+        fs = self.cfg.vocoder.frame_samples
+        e = min(valid, s.frames * fs - s.emitted)
+        if e > 0:
+            piece = row_wav[:e]
+            s.pieces.append(piece)
+            s.emitted += e
+            if s.on_chunk is not None:
+                s.on_chunk(piece)
 
     def run_until_drained(self, max_ticks: int = 1000) -> None:
         for _ in range(max_ticks):
@@ -281,5 +307,4 @@ def _reset_vocoder_row(vstate, vcfg, row: int):
         conv_history=zero_row(vstate.conv_history),
         kv={k: v.at[:, row].set(0) for k, v in vstate.kv.items()},
         frames_done=vstate.frames_done.at[row].set(0),
-        ola_tail=zero_row(vstate.ola_tail),
     )

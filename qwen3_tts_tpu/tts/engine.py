@@ -473,9 +473,13 @@ class TtsEngine:
             active = np.asarray(active)[0]          # [chunk]
             n_new = min(int(active.sum()), budget - steps)
             steps += P.STREAM_CHUNK_FRAMES
+            done = bool(np.asarray(state["done"])[0])
             if n_new > 0:
-                pipe.submit(np.asarray(codes)[:, :n_new])
-            if bool(np.asarray(state["done"])[0]):
+                # is_final on the EOS chunk flushes the vocoder lookahead
+                # (src/models/onnx.rs is_last contract); a stream ending
+                # with an empty chunk is drained by pipe.close()
+                pipe.submit(np.asarray(codes)[:, :n_new], is_final=done)
+            if done:
                 break
         samples = pipe.close()
         return AudioSample(samples=samples, sample_rate=P.SAMPLE_RATE,

@@ -58,9 +58,13 @@ def test_streaming_matches_offline_greedy(engine):
     streamed = engine.generate_stream("stream me", voice,
                                       on_chunk=chunks.append)
     assert len(chunks) >= 1
-    # chunk sizes: multiples of one frame, at most 4 frames
-    for c in chunks[:-1]:
-        assert len(c) == P.STREAM_CHUNK_FRAMES * P.FRAME_SAMPLES
+    # chunk sizes: whole frames (the first chunk withholds the vocoder's
+    # lookahead window; the final chunk flushes it)
+    for c in chunks:
+        assert len(c) % P.FRAME_SAMPLES == 0
+        assert 0 < len(c) <= (P.STREAM_CHUNK_FRAMES
+                              + engine.config.vocoder.lookahead) \
+            * P.FRAME_SAMPLES
     np.testing.assert_allclose(
         streamed.samples, offline.samples, rtol=1e-4, atol=1e-5
     )

@@ -23,15 +23,17 @@ def test_pipeline_matches_inline(params):
     codes = rng.integers(0, CFG.code_vocab, size=(1, 10, 16))
 
     state = vocoder.init_state(CFG, 1)
-    want, _, _ = vocoder.decode(params, CFG, jnp.asarray(codes), state, True)
+    want, valid, _ = vocoder.decode(params, CFG, jnp.asarray(codes), state,
+                                    True)
+    want = np.asarray(want)[0, : int(valid[0])]
 
     chunks = []
     pipe = VocoderPipeline(params, CFG, batch=1, on_chunk=chunks.append)
     for start in range(0, 10, 4):
         pipe.submit(codes[:, start:start + 4])
-    got = pipe.close()
-    np.testing.assert_allclose(got, np.asarray(want)[0], rtol=1e-5, atol=1e-5)
-    assert len(chunks) == 3
+    got = pipe.close()          # drains the lookahead (no is_final was sent)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert len(chunks) == 4     # 3 decode chunks + the close() flush
     np.testing.assert_allclose(np.concatenate(chunks), got)
 
 

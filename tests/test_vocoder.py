@@ -1,6 +1,15 @@
-"""Vocoder: streaming-chunked decode must be bit-identical to one-shot
-decode (the reference's carried-state contract, src/models/onnx.rs:342-496),
-plus shape/validity invariants."""
+"""Vocoder: the reference's carried-state streaming contract
+(src/models/onnx.rs:342-496), now with REAL contract strength:
+
+  * variable `valid_samples` — non-final calls withhold the lookahead
+    window (src/models/onnx.rs:398-405);
+  * `is_last` flushes it;
+  * chunked decode (with trimming + final flush) is bit-comparable to
+    one-shot decode;
+  * an independent numpy oracle locks the derived architecture
+    (embed-sum -> causal pre-conv -> transformer -> centered lookahead
+    conv -> causal conv -> frame-local transposed-conv upsampler).
+"""
 
 import numpy as np
 import jax
@@ -10,7 +19,11 @@ import pytest
 from qwen3_tts_tpu.core.config import tiny_engine_config
 from qwen3_tts_tpu.models import vocoder
 
+from test_numpy_oracle import np_forward
+
 CFG = tiny_engine_config().vocoder
+LA = CFG.lookahead
+F = CFG.frame_samples
 
 
 @pytest.fixture(scope="module")
@@ -25,24 +38,43 @@ def _codes(n_frames, batch=1, seed=0):
     )
 
 
-def test_shapes_and_valid(params):
+def test_shapes_and_variable_valid(params):
     codes = _codes(5)
     state = vocoder.init_state(CFG, 1)
     wav, valid, state = vocoder.decode(params, CFG, codes, state, False)
-    assert wav.shape == (1, 5 * CFG.frame_samples)
-    assert valid.tolist() == [5 * CFG.frame_samples]
+    assert wav.shape == (1, (5 + LA) * F)
+    # stream start: the lookahead window is withheld on non-final calls
+    assert valid.tolist() == [(5 - LA) * F]
     assert int(state.frames_done[0]) == 5
+    # second call: steady state emits every frame
+    wav2, valid2, state = vocoder.decode(params, CFG, _codes(3, seed=1),
+                                         state, False)
+    assert valid2.tolist() == [3 * F]
+    # final call flushes the lookahead
+    wav3, valid3, _ = vocoder.decode(params, CFG, _codes(2, seed=2),
+                                     state, True)
+    assert valid3.tolist() == [(2 + LA) * F]
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_oneshot_valid_covers_everything(params):
+    codes = _codes(6)
+    wav, valid, _ = vocoder.decode(params, CFG, codes,
+                                   vocoder.init_state(CFG, 1), True)
+    assert valid.tolist() == [6 * F]
 
 
 def test_streaming_equals_oneshot(params):
     """4-frame chunks + remainder (the reference's 64-code batching,
-    src/tts/engine.rs:510-537) must reproduce the one-shot waveform."""
+    src/tts/engine.rs:510-537) must reproduce the one-shot waveform,
+    including the is_last flush."""
     total = 11
     codes = _codes(total, seed=3)
 
     state = vocoder.init_state(CFG, 1)
-    one_shot, _, _ = vocoder.decode(params, CFG, codes, state, True)
+    one_shot, v, _ = vocoder.decode(params, CFG, codes, state, True)
+    one_shot = np.asarray(one_shot)[:, : int(v[0])]
+    assert one_shot.shape[1] == total * F
 
     state = vocoder.init_state(CFG, 1)
     chunks = []
@@ -53,9 +85,43 @@ def test_streaming_equals_oneshot(params):
         chunks.append(np.asarray(wav)[:, : int(valid[0])])
     streamed = np.concatenate(chunks, axis=1)
 
+    assert streamed.shape == one_shot.shape
+    np.testing.assert_allclose(streamed, one_shot, rtol=1e-5, atol=1e-5)
+
+
+def test_flush_drains_pending(params):
+    """A stream that ends between calls: flush() must emit exactly what an
+    is_last submission would have."""
+    total = 7
+    codes = _codes(total, seed=4)
+
+    state = vocoder.init_state(CFG, 1)
+    w1, v1, state = vocoder.decode(params, CFG, codes, state, False)
+    w2, v2, _ = vocoder.flush(params, CFG, state)
+    got = np.concatenate([np.asarray(w1)[:, : int(v1[0])],
+                          np.asarray(w2)[:, : int(v2[0])]], axis=1)
+
+    ref, vr, _ = vocoder.decode(params, CFG, codes,
+                                vocoder.init_state(CFG, 1), True)
+    ref = np.asarray(ref)[:, : int(vr[0])]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_per_row_is_last(params):
+    """Continuous batching: is_last may flush one row while the other keeps
+    streaming."""
+    codes = _codes(4, batch=2, seed=5)
+    state = vocoder.init_state(CFG, 2)
+    is_last = jnp.asarray([True, False])
+    wav, valid, _ = vocoder.decode(params, CFG, codes, state, is_last)
+    assert valid.tolist() == [4 * F, (4 - LA) * F]
+    # the flushed row matches a solo one-shot decode
+    solo, vs, _ = vocoder.decode(params, CFG, codes[:1],
+                                 vocoder.init_state(CFG, 1), True)
     np.testing.assert_allclose(
-        streamed, np.asarray(one_shot), rtol=1e-5, atol=1e-5
-    )
+        np.asarray(wav)[0, : int(valid[0])],
+        np.asarray(solo)[0, : int(vs[0])], rtol=1e-5, atol=1e-6)
 
 
 def test_code_clamping(params):
@@ -86,3 +152,79 @@ def test_batch_rows_independent(params):
     np.testing.assert_allclose(
         np.asarray(wav_b)[0], np.asarray(wav_a)[0], rtol=1e-5, atol=1e-6
     )
+
+
+def test_gather_row_matches_solo(params):
+    codes = _codes(5, batch=3, seed=6)
+    state = vocoder.init_state(CFG, 3)
+    _, _, state = vocoder.decode(params, CFG, codes, state, False)
+    w_row, v_row, _ = vocoder.flush(params, CFG, vocoder.gather_row(state, 1))
+
+    state1 = vocoder.init_state(CFG, 1)
+    _, _, state1 = vocoder.decode(params, CFG, codes[1:2], state1, False)
+    w_solo, v_solo, _ = vocoder.flush(params, CFG, state1)
+    assert v_row.tolist() == v_solo.tolist()
+    np.testing.assert_allclose(np.asarray(w_row), np.asarray(w_solo),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------- numpy oracle
+def _np_gelu(x):
+    # jax.nn.gelu default (approximate=True, tanh form)
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _np_conv_valid(x, w, b):
+    """x [Cin, T], w [Cout, Cin, K] -> [Cout, T-K+1]."""
+    Cout, Cin, K = w.shape
+    T = x.shape[1] - K + 1
+    out = np.zeros((Cout, T))
+    for k in range(K):
+        out += np.einsum("oi,it->ot", w[:, :, k], x[:, k:k + T])
+    return out + b[:, None]
+
+
+def np_vocoder_oneshot(params, cfg, codes):
+    """Independent full-sequence decode: codes [N, 16] -> wav [N*2000]."""
+    p = jax.tree.map(np.asarray, params)
+    N = codes.shape[0]
+    la, kp, kb = cfg.lookahead, cfg.pre_conv_kernel, cfg.post_conv_kernel
+
+    emb = np.zeros((N, cfg.embed_dim))
+    for q in range(cfg.num_codebooks):
+        emb += p["embed"][q][np.clip(codes[:, q], 0, cfg.code_vocab - 1)]
+
+    x = np.concatenate([np.zeros((cfg.embed_dim, kp - 1)), emb.T], axis=1)
+    y = _np_gelu(_np_conv_valid(x, p["pre_conv"]["w"], p["pre_conv"]["b"]))
+
+    tcfg = vocoder.transformer_config(cfg)
+    h, _ = np_forward(params["transformer"], tcfg, y.T.astype(np.float32),
+                      np.arange(N))
+
+    a_in = np.concatenate(
+        [np.zeros((cfg.hidden, la)), h.T, np.zeros((cfg.hidden, la))], axis=1)
+    a = _np_gelu(_np_conv_valid(a_in, p["post_a"]["w"], p["post_a"]["b"]))
+    b_in = np.concatenate([np.zeros((cfg.hidden, kb - 1)), a], axis=1)
+    bb = _np_gelu(_np_conv_valid(b_in, p["post_b"]["w"], p["post_b"]["b"]))
+
+    z = bb.T                                       # [N, hidden]
+    n_up = len(p["up"])
+    for i, (stage, s) in enumerate(zip(p["up"], cfg.upsample_factors)):
+        z = z @ stage["w"] + stage["b"]
+        c_out = stage["w"].shape[1] // s
+        z = z.reshape(z.shape[0] * s, c_out)
+        z = np.tanh(z) if i == n_up - 1 else _np_gelu(z)
+    return z[:, 0]
+
+
+def test_matches_numpy_oracle(params):
+    codes = np.random.default_rng(9).integers(0, CFG.code_vocab, (6, 16))
+    want = np_vocoder_oneshot(params, CFG, codes)
+
+    wav, valid, _ = vocoder.decode(
+        params, CFG, jnp.asarray(codes, jnp.int32)[None],
+        vocoder.init_state(CFG, 1), True)
+    got = np.asarray(wav)[0, : int(valid[0])]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
