@@ -40,9 +40,14 @@ Config = TalkerConfig | PredictorConfig
 
 
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    # single-rounding form: all f32 math, ONE cast to the model dtype. With
+    # --xla_allow_excess_precision XLA elides intermediate low-precision
+    # casts anyway; writing the single-rounding form makes the XLA path and
+    # the Pallas kernels (which honor casts as written) bit-identical.
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+    return (xf * jax.lax.rsqrt(var + eps)
+            * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def init_decoder(key: jax.Array, cfg: Config, scale: float = 0.02) -> DecoderParams:
@@ -189,7 +194,15 @@ def forward(
         m_in = rms_norm(h, lw["ln2"], cfg.rms_eps)
         gu = linear(m_in, lw["w_gu"])
         F = gu.shape[-1] // 2
-        h = h + linear(jax.nn.silu(gu[..., :F]) * gu[..., F:], lw["w_down"])
+        # silu in f32 with a SINGLE rounding to the model dtype: jax.nn.silu
+        # on bf16 rounds the sigmoid and the product separately, which is
+        # both less accurate and diverges from the fused Pallas kernels
+        # (ops/fused_predictor.py, ops/fused_talker.py) that this path must
+        # A/B against.
+        gu32 = gu.astype(jnp.float32)
+        act = (gu32[..., :F] / (1.0 + jnp.exp(-gu32[..., :F]))
+               * gu32[..., F:]).astype(gu.dtype)
+        h = h + linear(act, lw["w_down"])
         return (h, k_all, v_all), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)

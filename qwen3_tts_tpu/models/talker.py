@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import TalkerConfig
+from ..ops import fused_talker
 from . import decoder
 
 
@@ -52,7 +53,17 @@ def step(
     """One autoregressive talker step. Returns (hidden [B,H], logits [B,vocab],
     cache)."""
     B = feedback.shape[0]
-    positions = (jnp.asarray(slot, jnp.int32) - pad_offset)[:, None]  # [B, 1]
+    slot = jnp.asarray(slot, jnp.int32)
+    if fused_talker.usable(cfg, B):
+        # whole decode step in ONE Pallas launch (ops/fused_talker.py);
+        # QWEN3_TTS_NO_FUSED_TALKER=1 forces the XLA path below
+        slot_b = jnp.broadcast_to(slot, (B,))
+        h, logits, k, v = fused_talker.talker_step_fused(
+            params, cfg, feedback, slot_b - pad_offset, slot, slot_b,
+            pad_offset, cache["k"], cache["v"],
+        )
+        return h, logits, {"k": k, "v": v}
+    positions = (slot - pad_offset)[:, None]                          # [B, 1]
     h, logits, cache = decoder.forward(
         params, cfg, feedback[:, None], positions, cache, slot,
         kv_valid_from=pad_offset,

@@ -83,18 +83,19 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
     Lc = jnp.int32(L)
 
     # norm weights arrive f32 (bf16 [L,H] tables cannot be dynamically
-    # row-indexed on TPU: sub-tile access) and are cast back to the model
-    # dtype so the multiply matches models/decoder.rms_norm bit-for-bit
+    # row-indexed on TPU: sub-tile access). Single-rounding form (all f32
+    # math, ONE cast) bit-matches models/decoder.rms_norm, which XLA
+    # compiles with intermediate casts elided under
+    # --xla_allow_excess_precision.
     def rms2(x, w_row):                      # x [Bp, H] f32-math rms norm
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * w_row.astype(dt)
+        return (xf * jax.lax.rsqrt(var + eps) * w_row).astype(dt)
 
     def rms3(x, w_row):                      # x [Bp, nh, hd]
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * (
-            w_row.astype(dt)[None])
+        return (xf * jax.lax.rsqrt(var + eps) * w_row[None]).astype(dt)
 
     def rope(x, cos_r, sin_r):               # x [Bp, nh, hd]; cos_r [1, hd]
         half = hd // 2
