@@ -120,6 +120,12 @@ def head_logits(params: DecoderParams, h: jax.Array,
         q = jax.lax.dynamic_slice_in_dim(head["q"], start, width, axis=1)
         s = jax.lax.dynamic_slice_in_dim(head["scale"], start, width, axis=0)
         return linear(h, {"q": q, "scale": s}).astype(jnp.float32)
+    if isinstance(head, dict) and "q4" in head:
+        # nibble packing pairs ROWS; column slices are packing-transparent
+        q4 = jax.lax.dynamic_slice_in_dim(head["q4"], start, width, axis=1)
+        m8 = jax.lax.dynamic_slice_in_dim(head["m8"], start, width, axis=1)
+        s = jax.lax.dynamic_slice_in_dim(head["scale"], start, width, axis=0)
+        return linear(h, {"q4": q4, "m8": m8, "scale": s}).astype(jnp.float32)
     w = jax.lax.dynamic_slice_in_dim(head, start, width, axis=1)
     return (h @ w).astype(jnp.float32)
 

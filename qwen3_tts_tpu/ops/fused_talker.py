@@ -50,6 +50,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import quant as quant_mod
+
 NEG = -1e30
 ABLK = 256        # attention cache slots per DMA block (== flash_decode.BLK)
 PW = 512          # max weight-panel lanes streamed per DMA (int8)
@@ -61,15 +63,19 @@ def _pw(n: int, cap: int) -> int:
 
 
 def _split_w(w, n_out):
-    """(values, scales[f32; ones if dense]) for a maybe-quantized weight."""
+    """(values, m8-or-None, scales[f32; ones if dense]) for a dense / int8 /
+    int4 weight. int4 values are the packed [.., K//2, N] nibble planes."""
     if isinstance(w, dict) and "q" in w:
-        return w["q"], w["scale"].astype(jnp.float32)
-    ones = jnp.ones(w.shape[:-2] + (n_out,), jnp.float32) if w.ndim == 3 \
+        return w["q"], None, w["scale"].astype(jnp.float32)
+    if isinstance(w, dict) and "q4" in w:
+        return w["q4"], w["m8"], w["scale"].astype(jnp.float32)
+    arr = jnp.asarray(w)
+    ones = jnp.ones(arr.shape[:-2] + (n_out,), jnp.float32) if arr.ndim == 3 \
         else jnp.ones((n_out,), jnp.float32)
-    return w, ones
+    return arr, None, ones
 
 
-def _kernel_body(cfg, B, refs):
+def _kernel_body(cfg, B, int4, refs):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -91,8 +97,8 @@ def _kernel_body(cfg, B, refs):
 
     x_ref, y_ref = refs["x"], refs["y"]
     kbuf, vbuf = refs["kbuf"], refs["vbuf"]
-    wbuf_h, wbuf_f = refs["wbuf_h"], refs["wbuf_f"]
-    wsem = refs["wsem"]
+    wbuf_h, wbuf_f, mbuf = refs["wbuf_h"], refs["wbuf_f"], refs["mbuf"]
+    wsem, msem = refs["wsem"], refs["msem"]
     ksem, vsem = refs["ksem"], refs["vsem"]
     acc_ref, m_ref, l_ref = refs["acc"], refs["m"], refs["l"]
     kc, vc = refs["kc"], refs["vc"]
@@ -118,19 +124,38 @@ def _kernel_body(cfg, B, refs):
         rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
         return x * c3.astype(dt) + rot * s3.astype(dt)
 
-    def stream_matmul(x_dt, w_hbm, buf, K, N, pw, col_base=None):
-        """y_ref[:, :N] = f32( x_dt [Bp,K] @ w_hbm[:, base:base+N] )."""
+    def stream_matmul(x_dt, w_hbm, buf, K, N, pw, col_base=None,
+                      m_hbm=None, mbuf=None):
+        """y_ref[:, :N] = f32( x_dt [Bp,K] @ deq(w_hbm)[:, base:base+N] ).
+
+        Dense/int8: w_hbm [K, N_total], panels cast to dt in VMEM.
+        Int4 (m_hbm given): w_hbm [K//2, N_total] packed nibbles + m_hbm
+        [K//G4, N_total] sub-multipliers; the panel dequant reproduces
+        quant.dequant4_dt bit-for-bit (integer nib*m8 rounded once to dt).
+        """
         n_panels = N // pw
-        exact = buf.shape[1] == K and buf.shape[2] == pw
+        int4 = m_hbm is not None
+        rows = K // 2 if int4 else K
+        exact = buf.shape[1] == rows and buf.shape[2] == pw
+        G4 = quant_mod.GROUP4
+        ng = K // G4 if int4 else 0
 
         def dma(slot, p):
             start = p * pw if col_base is None else col_base + p * pw
             src = w_hbm.at[:, pl.ds(start, pw)]
             dst = buf.at[slot] if exact else (
-                buf.at[slot, pl.ds(0, K), pl.ds(0, pw)])
+                buf.at[slot, pl.ds(0, rows), pl.ds(0, pw)])
             return pltpu.make_async_copy(src, dst, wsem.at[slot])
 
+        def mdma(slot, p):
+            start = p * pw if col_base is None else col_base + p * pw
+            return pltpu.make_async_copy(
+                m_hbm.at[pl.ds(0, ng), pl.ds(start, pw)],
+                mbuf.at[slot, pl.ds(0, ng), pl.ds(0, pw)], msem.at[slot])
+
         dma(0, 0).start()
+        if int4:
+            mdma(0, 0).start()
 
         def body(p, _):
             slot = jax.lax.rem(p, 2)
@@ -138,11 +163,30 @@ def _kernel_body(cfg, B, refs):
             @pl.when(p + 1 < n_panels)
             def _():
                 dma(jax.lax.rem(p + 1, 2), p + 1).start()
+                if int4:
+                    mdma(jax.lax.rem(p + 1, 2), p + 1).start()
 
             dma(slot, p).wait()
-            w = buf[slot] if exact else buf[slot, pl.ds(0, K), pl.ds(0, pw)]
+            if int4:
+                mdma(slot, p).wait()
+                w8 = (buf[slot, pl.ds(0, rows), pl.ds(0, pw)] if not exact
+                      else buf[slot])
+                qu = w8.astype(jnp.int32) & 0xFF
+                lo = qu & 0xF
+                hi = (qu >> 4) & 0xF
+                lo = jnp.where(lo < 8, lo, lo - 16)
+                hi = jnp.where(hi < 8, hi, hi - 16)
+                nib = jnp.concatenate([lo, hi], axis=0)          # [K, pw]
+                m = mbuf[slot, pl.ds(0, ng), pl.ds(0, pw)].astype(jnp.int32)
+                m = jnp.broadcast_to(
+                    m[:, None, :], (ng, G4, pw)).reshape(K, pw)
+                w = (nib * m).astype(dt)
+            else:
+                wv = buf[slot] if exact else (
+                    buf[slot, pl.ds(0, K), pl.ds(0, pw)])
+                w = wv.astype(dt)
             acc = jax.lax.dot_general(
-                x_dt, w.astype(dt), (((1,), (0,)), ((), ())),
+                x_dt, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             y_ref[:, pl.ds(p * pw, pw)] = acc
             return ()
@@ -251,6 +295,12 @@ def _kernel_body(cfg, B, refs):
                 [attn, jnp.zeros((Bp - B, nq * hd), dt)], axis=0)
         return attn
 
+    # perf-debug ablations (trace-time env knob; production = unset):
+    # comma-set of {attn, mlp, qkv, wo, head} to SKIP — wrong results, used
+    # only to attribute kernel time between streams/compute stages
+    ablate = set(filter(None, os.environ.get(
+        "QWEN3_TTS_ABLATE", "").split(",")))
+
     # ---- the decode step ---------------------------------------------------
     # The residual stream stays f32: under --xla_allow_excess_precision the
     # compiled XLA path keeps the wo / mlp outputs and residual adds in f32
@@ -267,7 +317,10 @@ def _kernel_body(cfg, B, refs):
 
         xv = x_ref[:]
         a = rms2(xv, refs["ln1"][pl.ds(l, 1), :])
-        stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV, wcap)
+        if "qkv" not in ablate:
+            stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV, wcap,
+                          m_hbm=refs["m_qkv"].at[l] if int4 else None,
+                          mbuf=mbuf)
         qkv = (y_ref[:, pl.ds(0, NQKV)]
                * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
         q3 = qkv[:, : nq * hd].reshape(Bp, nq, hd)
@@ -283,16 +336,28 @@ def _kernel_body(cfg, B, refs):
         knew[l] = k3[:B].reshape(BK, hd).astype(jnp.float32)
         vnew[l] = v3[:B].reshape(BK, hd).astype(jnp.float32)
 
-        attn = attention(q3, k3, v3, l)
-        stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H, wcap)
+        if "attn" not in ablate:
+            attn = attention(q3, k3, v3, l)
+        else:
+            attn = jnp.zeros((Bp, nq * hd), dt)
+        if "wo" not in ablate:
+            stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H, wcap,
+                          m_hbm=refs["m_wo"].at[l] if int4 else None,
+                          mbuf=mbuf)
         x_ref[:] = xv + y_ref[:, pl.ds(0, H)] * refs["sc_wo"][pl.ds(l, 1), :]
 
         mi = rms2(x_ref[:], refs["ln2"][pl.ds(l, 1), :])
-        stream_matmul(mi, refs["wgu"].at[l], wbuf_h, H, 2 * F, wcap)
+        if "mlp" not in ablate:
+            stream_matmul(mi, refs["wgu"].at[l], wbuf_h, H, 2 * F, wcap,
+                          m_hbm=refs["m_gu"].at[l] if int4 else None,
+                          mbuf=mbuf)
         gu = y_ref[:, pl.ds(0, 2 * F)] * refs["sc_gu"][pl.ds(l, 1), :]  # f32
         gg = gu[:, :F]
         act = (gg / (1.0 + jnp.exp(-gg)) * gu[:, F:]).astype(dt)
-        stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H, fcap)
+        if "mlp" not in ablate:
+            stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H, fcap,
+                          m_hbm=refs["m_down"].at[l] if int4 else None,
+                          mbuf=mbuf)
         x_ref[:] = (x_ref[:]
                     + y_ref[:, pl.ds(0, H)] * refs["sc_down"][pl.ds(l, 1), :])
         return ()
@@ -302,7 +367,8 @@ def _kernel_body(cfg, B, refs):
     h = rms2(x_ref[:], refs["fnorm"][0:1, :])
     refs["hidden"][:] = h
     pw_head = _pw(V, wcap)
-    stream_matmul(h, refs["whead"], wbuf_h, H, V, pw_head)
+    stream_matmul(h, refs["whead"], wbuf_h, H, V, pw_head,
+                  m_hbm=refs["m_head"] if int4 else None, mbuf=mbuf)
     lg = y_ref[:, pl.ds(0, V)] * refs["sc_head"][:]
     if dt != jnp.float32:
         # the XLA path rounds logits through cfg.dtype for BOTH dense
@@ -314,23 +380,25 @@ def _kernel_body(cfg, B, refs):
 def _kernel(x0, cos_q, sin_q, cos_k, sin_k, kvlen, vfrom,
             ln1, ln2, qn, kn, fnorm,
             sc_qkv, sc_wo, sc_gu, sc_down, sc_head,
-            wqkv, wo, wgu, wdown, whead, kc, vc,
+            wqkv, wo, wgu, wdown, whead,
+            m_qkv, m_wo, m_gu, m_down, m_head, kc, vc,
             hidden, logits, knew, vnew,
-            x, y, kbuf, vbuf, wbuf_h, wbuf_f,
-            acc, m, l, wsem, ksem, vsem,
-            *, cfg, B):
+            x, y, kbuf, vbuf, wbuf_h, wbuf_f, mbuf,
+            acc, m, l, wsem, msem, ksem, vsem,
+            *, cfg, B, int4):
     refs = dict(
         x0=x0, cos_q=cos_q, sin_q=sin_q, cos_k=cos_k, sin_k=sin_k,
         kvlen=kvlen, vfrom=vfrom, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
         fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
         sc_down=sc_down, sc_head=sc_head,
         wqkv=wqkv, wo=wo, wgu=wgu, wdown=wdown, whead=whead,
+        m_qkv=m_qkv, m_wo=m_wo, m_gu=m_gu, m_down=m_down, m_head=m_head,
         kc=kc, vc=vc, hidden=hidden, logits=logits, knew=knew, vnew=vnew,
         x=x, y=y, kbuf=kbuf, vbuf=vbuf,
-        wbuf_h=wbuf_h, wbuf_f=wbuf_f, acc=acc, m=m, l=l,
-        wsem=wsem, ksem=ksem, vsem=vsem,
+        wbuf_h=wbuf_h, wbuf_f=wbuf_f, mbuf=mbuf, acc=acc, m=m, l=l,
+        wsem=wsem, msem=msem, ksem=ksem, vsem=vsem,
     )
-    _kernel_body(cfg, B, refs)
+    _kernel_body(cfg, B, int4, refs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -368,19 +436,34 @@ def talker_step_fused(
     Ra = max(8, B * nq)
 
     lw = params["layers"]
-    wqkv, sc_qkv = _split_w(lw["wqkv"], NQKV)
-    wo, sc_wo = _split_w(lw["wo"], H)
-    wgu, sc_gu = _split_w(lw["w_gu"], 2 * F)
-    wdown, sc_down = _split_w(lw["w_down"], H)
-    whead, sc_head = _split_w(params["head"], V)
+    wqkv, m_qkv, sc_qkv = _split_w(lw["wqkv"], NQKV)
+    wo, m_wo, sc_wo = _split_w(lw["wo"], H)
+    wgu, m_gu, sc_gu = _split_w(lw["w_gu"], 2 * F)
+    wdown, m_down, sc_down = _split_w(lw["w_down"], H)
+    whead, m_head, sc_head = _split_w(params["head"], V)
+    int4 = m_qkv is not None
+    if int4:
+        assert all(x is not None for x in (m_wo, m_gu, m_down, m_head)), \
+            "mixed int4/non-int4 decoder weights are not supported"
+        G4 = quant_mod.GROUP4
+        assert H % (2 * G4) == 0 and F % (2 * G4) == 0 \
+            and (nq * hd) % (2 * G4) == 0
+    else:
+        dummy = jnp.zeros((L, 1, 1), jnp.int8)
+        m_qkv = m_wo = m_gu = m_down = dummy
+        m_head = dummy[0]
 
-    # panel widths: int8 panels can be wider for the same VMEM budget
+    # panel widths: narrower weight bytes allow wider panels for the same
+    # VMEM budget (int4 packs two rows per byte AND halves the row count)
     wbytes = jnp.dtype(wqkv.dtype).itemsize
-    cap = PW if wbytes == 1 else PW // 2
+    cap = (2 * PW) if int4 else (PW if wbytes == 1 else PW // 2)
     # wcap serves qkv/wo/gu (N = NQKV, H, 2F); the head streams narrower
     # panels (pw = gcd(V, wcap)) through a slice of the same buffer
     wcap = _pw(math.gcd(NQKV, math.gcd(H, 2 * F)), cap)
     fcap = _pw(H, cap // 2)
+    wrows_h = H // 2 if int4 else H        # wo/head use a row slice
+    wrows_f = F // 2 if int4 else F
+    ngmax = max(H, nq * hd, F) // quant_mod.GROUP4 if int4 else 1
 
     xp = x.astype(dt)
     if Bp != B:
@@ -412,13 +495,13 @@ def talker_step_fused(
     vc = v_cache.reshape(L, B * nk, T, hd)
 
     ymax = max(NQKV, 2 * F, H, V)
-    kern = functools.partial(_kernel, cfg=cfg, B=B)
+    kern = functools.partial(_kernel, cfg=cfg, B=B, int4=int4)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec(memory_space=pl.ANY)
 
     hidden, logits, knew, vnew = pl.pallas_call(
         kern,
-        in_specs=[vspec] * 17 + [aspec] * 7,                    # weights+cache
+        in_specs=[vspec] * 17 + [aspec] * 12,                   # weights+cache
         out_specs=(vspec, vspec, vspec, vspec),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, H), dt),                  # hidden
@@ -431,12 +514,14 @@ def talker_step_fused(
             pltpu.VMEM((Bp, ymax), jnp.float32),                # y
             pltpu.VMEM((2, B * nk, ABLK, hd), kc.dtype),        # kbuf
             pltpu.VMEM((2, B * nk, ABLK, hd), vc.dtype),        # vbuf
-            pltpu.VMEM((2, H, wcap), wqkv.dtype),               # wbuf_h
-            pltpu.VMEM((2, F, fcap), wdown.dtype),              # wbuf_f
+            pltpu.VMEM((2, wrows_h, wcap), wqkv.dtype),         # wbuf_h
+            pltpu.VMEM((2, wrows_f, fcap), wdown.dtype),        # wbuf_f
+            pltpu.VMEM((2, ngmax, wcap), jnp.int8),             # mbuf
             pltpu.VMEM((Ra, hd), jnp.float32),                  # acc
             pltpu.VMEM((Ra, 1), jnp.float32),                   # m
             pltpu.VMEM((Ra, 1), jnp.float32),                   # l
             pltpu.SemaphoreType.DMA((2,)),                      # wsem
+            pltpu.SemaphoreType.DMA((2,)),                      # msem
             pltpu.SemaphoreType.DMA(()),                        # ksem
             pltpu.SemaphoreType.DMA(()),                        # vsem
         ],
@@ -447,7 +532,8 @@ def talker_step_fused(
       lw["q_norm"].astype(jnp.float32), lw["k_norm"].astype(jnp.float32),
       params["final_norm"].reshape(1, H).astype(jnp.float32),
       sc_qkv, sc_wo, sc_gu, sc_down, sc_head.reshape(1, V),
-      wqkv, wo, wgu, wdown, whead, kc, vc)
+      wqkv, wo, wgu, wdown, whead,
+      m_qkv, m_wo, m_gu, m_down, m_head, kc, vc)
 
     # stacked cache write OUTSIDE the kernel (pre-update-cache formulation,
     # exactly like the flash-decode path): in-place via donation, and one
@@ -473,7 +559,7 @@ def talker_step_fused(
     return hidden[:B], logits[:B], k_out, v_out
 
 
-def usable(cfg, batch: int) -> bool:
+def usable(cfg, batch: int, params=None) -> bool:
     """Static eligibility of the fused talker step for compiled execution."""
     if os.environ.get("QWEN3_TTS_NO_FUSED_TALKER") == "1":
         return False
@@ -485,7 +571,7 @@ def usable(cfg, batch: int) -> bool:
         return False
     H, F, V = cfg.hidden, cfg.ffn_dim, cfg.vocab
     NQKV = (cfg.n_q_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
-    return (
+    ok = (
         cfg.n_q_heads % cfg.n_kv_heads == 0
         and cfg.head_dim % 128 == 0
         and cfg.n_q_heads * cfg.head_dim <= H   # wo streams K=nq*hd rows of
@@ -498,3 +584,9 @@ def usable(cfg, batch: int) -> bool:
         and batch * cfg.n_q_heads >= 8          # one attention-row tile
         and batch <= 2                          # kbuf/vbuf VMEM budget
     )
+    if ok and params is not None and quant_mod.is_quantized4(
+            params["layers"]["wqkv"]):
+        g2 = 2 * quant_mod.GROUP4               # packed halves x k-groups
+        ok = (H % g2 == 0 and F % g2 == 0
+              and (cfg.n_q_heads * cfg.head_dim) % g2 == 0)
+    return ok

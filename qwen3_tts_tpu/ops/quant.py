@@ -1,12 +1,22 @@
-"""Int8 weight quantization + fused dequant-matmul (Pallas TPU kernel).
+"""Int8/int4 weight quantization + fused dequant-matmul (Pallas TPU kernel).
 
 TPU-native counterpart of the reference's quantized-GGUF support (Q5_K_M /
-Q8_0 decoded inside llama.cpp, `src/download.rs:55-101`): weights are stored
-int8 with per-output-channel f32 scales, halving the HBM bytes that bound
-autoregressive decode, and dequantised on the fly in VMEM by a Pallas kernel
-so the full-precision matrix never exists in HBM.
+Q8_0 / Q4_K decoded inside llama.cpp, `src/download.rs:55-101`): weights are
+stored int8 or packed int4, shrinking the HBM bytes that bound
+autoregressive decode, and dequantised on the fly in VMEM so the
+full-precision matrix never exists in HBM.
 
-Layout: QuantizedLinear = {"q": int8 [in, out], "scale": f32 [out]}.
+Layouts:
+  int8: {"q": int8 [in, out], "scale": f32 [out]} — symmetric
+        per-output-channel.
+  int4: {"q4": int8 [in//2, out] packed nibbles (low nibble = row r, high
+        nibble = row in//2 + r), "m8": int8 [in//GROUP4, out] per-(k-group,
+        channel) sub-multipliers, "scale": f32 [out]} — Q4_K-class grouped
+        quantization: w[k, n] ~= nib(k, n) * m8[k // GROUP4, n] * scale[n],
+        nib in [-7, 7], m8 in [1, 127]. The canonical dequant rounds the
+        integer product nib*m8 through the MODEL dtype (dequant4_dt) so the
+        XLA path and the Pallas kernels agree bit-for-bit.
+
 `linear(x, w)` dispatches on weight type (dense array vs quantized dict) and
 is the single matmul entry point used by the decoder stacks.
 """
@@ -23,8 +33,15 @@ Weight = Union[jax.Array, Dict[str, jax.Array]]
 _LANE = 128
 
 
+GROUP4 = 128      # int4 k-group size (rows sharing one m8 sub-multiplier)
+
+
 def is_quantized(w: Weight) -> bool:
     return isinstance(w, dict) and "q" in w and "scale" in w
+
+
+def is_quantized4(w: Weight) -> bool:
+    return isinstance(w, dict) and "q4" in w and "scale" in w
 
 
 def quantize(w: jax.Array) -> Dict[str, jax.Array]:
@@ -38,6 +55,71 @@ def quantize(w: jax.Array) -> Dict[str, jax.Array]:
 
 def dequantize(w: Dict[str, jax.Array]) -> jax.Array:
     return w["q"].astype(jnp.float32) * w["scale"]
+
+
+# ------------------------------------------------------------------- int4
+def quantize_int4(w: jax.Array) -> Dict[str, jax.Array]:
+    """Grouped symmetric int4: w [K, N] (K % (2*GROUP4) == 0).
+
+    w[k, n] ~= q4(k, n) * m8[k // GROUP4, n] * scale[n] with q4 in [-7, 7].
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    K, N = wf.shape
+    assert K % (2 * GROUP4) == 0, (K, N)
+    G = K // GROUP4
+    amax_gn = jnp.max(jnp.abs(wf.reshape(G, GROUP4, N)), axis=1)     # [G, N]
+    amax_n = jnp.max(amax_gn, axis=0)                                # [N]
+    scale = jnp.maximum(amax_n, 1e-8) / (7.0 * 127.0)
+    m8 = jnp.clip(jnp.round(amax_gn / (7.0 * scale)), 1, 127)
+    step = m8 * scale                                                # [G, N]
+    q = jnp.clip(jnp.round(wf / jnp.repeat(step, GROUP4, axis=0)), -7, 7)
+    q = q.astype(jnp.int32)
+    lo = q[: K // 2] & 0xF
+    hi = q[K // 2:] & 0xF
+    q4 = (lo | (hi << 4)).astype(jnp.uint8).astype(jnp.int8)
+    return {"q4": q4, "m8": m8.astype(jnp.int8),
+            "scale": scale.astype(jnp.float32)}
+
+
+def unpack4(q4: jax.Array) -> jax.Array:
+    """Packed [K//2, N] int8 -> [K, N] int8 nibbles in [-8, 7].
+
+    Written in uint ops + where (no arithmetic shifts on int8) so the same
+    expression lowers inside Pallas kernels.
+    """
+    qu = q4.astype(jnp.uint8)
+    lo = (qu & 0xF).astype(jnp.int32)
+    hi = ((qu >> 4) & 0xF).astype(jnp.int32)
+    lo = jnp.where(lo < 8, lo, lo - 16)
+    hi = jnp.where(hi < 8, hi, hi - 16)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def dequant4_dt(q4: jax.Array, m8: jax.Array, dt) -> jax.Array:
+    """Canonical [K, N] dt weight (per-channel scale NOT applied): the
+    integer product nib*m8 (<= 889) rounds once through dt."""
+    nib = unpack4(q4).astype(jnp.int32)
+    m = jnp.repeat(m8.astype(jnp.int32), GROUP4, axis=0)
+    return (nib * m).astype(dt)
+
+
+def dequantize4(w: Dict[str, jax.Array]) -> jax.Array:
+    return (dequant4_dt(w["q4"], w["m8"], jnp.float32) * w["scale"])
+
+
+def qmatmul4(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
+    """x [..., in] @ int4-grouped [in, out] -> [..., out] f32.
+
+    XLA reference path (kernels stream the same math panel-wise): dequant to
+    x.dtype, matmul with f32 accumulation, per-channel scale at the end.
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    wd = dequant4_dt(w["q4"], w["m8"], x2.dtype)
+    acc = jax.lax.dot_general(x2, wd, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = acc * w["scale"]
+    return out.reshape(*lead, w["q4"].shape[1])
 
 
 def quantize_tree(params: Any, min_size: int = 1 << 16) -> Any:
@@ -131,18 +213,22 @@ def qmatmul(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
 
 
 def linear(x: jax.Array, w: Weight) -> jax.Array:
-    """Single matmul entry point: dense array or QuantizedLinear dict."""
+    """Single matmul entry point: dense array, int8 or int4 dict."""
     if is_quantized(w):
         return qmatmul(x, w).astype(x.dtype)
+    if is_quantized4(w):
+        return qmatmul4(x, w).astype(x.dtype)
     return x @ w
 
 
 _DECODER_MATMULS = ("wqkv", "wo", "w_gu", "w_down")
 
 
-def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Int8-quantize a models/decoder pytree: the four stacked layer
-    matmuls (per layer slice) and the output head; norms stay dense."""
+def quantize_decoder_params(params: Dict[str, Any],
+                            kind: str = "int8") -> Dict[str, Any]:
+    """Quantize a models/decoder pytree: the four stacked layer matmuls
+    (per layer slice) and the output head; norms stay dense.
+    kind: "int8" (per-channel) or "int4" (grouped, Q4_K-class)."""
 
     def q3(w):  # [L, in, out] -> per-(layer, out-channel) scales
         wf = jnp.asarray(w, jnp.float32)
@@ -151,11 +237,16 @@ def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
         q = jnp.clip(jnp.round(wf / scale[:, None, :]), -127, 127)
         return {"q": q.astype(jnp.int8), "scale": scale}
 
+    def q3_int4(w):  # [L, in, out] -> stacked int4 dicts
+        return jax.vmap(quantize_int4)(jnp.asarray(w))
+
+    qfn3 = q3 if kind == "int8" else q3_int4
+    qfn2 = quantize if kind == "int8" else quantize_int4
     layers = dict(params["layers"])
     for name in _DECODER_MATMULS:
-        layers[name] = q3(layers[name])
+        layers[name] = qfn3(layers[name])
     return {
         "layers": layers,
         "final_norm": params["final_norm"],
-        "head": quantize(params["head"]),
+        "head": qfn2(params["head"]),
     }

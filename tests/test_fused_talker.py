@@ -142,6 +142,42 @@ def test_fused_bf16_quantized(monkeypatch):
     assert jnp.array_equal(jnp.argmax(rl, -1), jnp.argmax(fl, -1))
 
 
+def test_fused_int4(monkeypatch):
+    """Grouped-int4 weights (Q4_K-class): the kernel's panel dequant must
+    reproduce quant.dequant4_dt bit-for-bit, so logits match the XLA int4
+    path exactly on f32 configs."""
+    cfg = TalkerConfig(
+        hidden=256, n_layers=2, n_q_heads=2, n_kv_heads=2, head_dim=128,
+        ffn_dim=256, vocab=2176, max_seq=512, mrope_sections=(32, 16, 16, 0),
+        dtype="float32",
+    )
+    params, cache, pad, fb = _setup(cfg, 1, 5, [0], seed=6)
+    params_q = quant.quantize_decoder_params(params, kind="int4")
+    rh, rl, rc = _ref_step(params_q, cfg, fb, jnp.int32(5), pad, cache,
+                           monkeypatch)
+    fh, fl, fc = _fused_step(params_q, cfg, fb, jnp.int32(5), pad, cache)
+    assert jnp.allclose(rh, fh, atol=1e-4), jnp.abs(rh - fh).max()
+    assert jnp.allclose(rl, fl, atol=1e-3)
+    assert jnp.array_equal(jnp.argmax(rl, -1), jnp.argmax(fl, -1))
+    assert jnp.allclose(rc["k"], fc["k"], atol=1e-4)
+
+
+def test_int4_quantizer_roundtrip():
+    w = 0.3 * jax.random.normal(jax.random.key(0), (512, 384))
+    q = quant.quantize_int4(w)
+    assert q["q4"].shape == (256, 384) and q["m8"].shape == (4, 384)
+    rel = float(jnp.abs(quant.dequantize4(q) - w).mean()
+                / jnp.abs(w).mean())
+    assert rel < 0.2, rel                     # Q4-class quantization error
+    # packing round-trip is exact
+    nib = quant.unpack4(q["q4"])
+    assert int(jnp.max(nib)) <= 7 and int(jnp.min(nib)) >= -7
+    x = jax.random.normal(jax.random.key(1), (4, 512), jnp.float32)
+    y = quant.qmatmul4(x, q)
+    ref = (x @ quant.dequant4_dt(q["q4"], q["m8"], x.dtype)) * q["scale"]
+    assert jnp.allclose(y, ref, rtol=1e-6)
+
+
 def test_usable_gating(monkeypatch):
     """usable() rejects CPU backends and oversized batches."""
     assert not fused_talker.usable(CFG, 1)   # cpu backend in tests
