@@ -33,6 +33,7 @@ codec_emb_1024(q, code_q) at position q+1 (src/tts/engine.rs:564-611).
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Any, Dict
 
@@ -40,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import protocol
+from . import quant as quant_mod
 
 NEG = -1e30
 PW = 512          # max weight-panel lanes streamed per DMA
@@ -49,7 +51,12 @@ def _pw(n: int) -> int:
     return min(PW, n)
 
 
-def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
+def _pw_w(n: int, cap: int) -> int:
+    """Weight-panel width: n itself when it fits, else a divisor <= cap."""
+    return n if n <= cap else math.gcd(n, cap)
+
+
+def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
     """The whole frame expansion. `refs` is the dict of kernel refs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -75,6 +82,7 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
         refs["x"], refs["y"], refs["logits"], refs["acc"])
     kbuf, vbuf = refs["kbuf"], refs["vbuf"]
     wbuf_h, wbuf_f, rbuf = refs["wbuf_h"], refs["wbuf_f"], refs["rbuf"]
+    mbuf, msem = refs["mbuf"], refs["msem"]
     wsem, rsem = refs["wsem"], refs["rsem"]
     krsem, vrsem = refs["krsem"], refs["vrsem"]
     kwsem, vwsem = refs["kwsem"], refs["vwsem"]
@@ -104,24 +112,40 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
         s = sin_r[None].astype(dt)
         return x * c + rot * s
 
-    def stream_matmul(x_dt, w_hbm, buf, K, N, col_base=None):
-        """y_ref[:, :N] = f32( x_dt [Bp,K] @ w_hbm[:, base:base+N] ).
+    def stream_matmul(x_dt, w_hbm, buf, K, N, col_base=None, m_hbm=None):
+        """y_ref[:, :N] = f32( x_dt [Bp,K] @ deq(w_hbm)[:, base:base+N] ).
 
-        w_hbm: ref [K, N_total]; panels of `pw` lanes double-buffered
-        through `buf` [2, K, >=pw]. col_base: traced column offset (head).
+        Dense/int8: w_hbm ref [K, N_total]; panels of `pw` lanes
+        double-buffered through `buf` [2, >=K, >=pw]. col_base: traced
+        column offset (head). Int4 (m_hbm given): w_hbm [K//2, N_total]
+        packed nibbles + m_hbm [K//GROUP4, N_total] sub-multipliers; the
+        panel dequant reproduces quant.dequant4_dt bit-for-bit (integer
+        nib*m8 rounded once to dt) — same recipe as ops/fused_talker.py.
         """
-        pw = _pw(N)
+        pw = _pw_w(N, wcap)
         n_panels = N // pw
-        exact = buf.shape[1] == K and buf.shape[2] == pw
+        is4 = m_hbm is not None
+        rows = K // 2 if is4 else K
+        exact = buf.shape[1] == rows and buf.shape[2] == pw
+        G4 = quant_mod.GROUP4
+        ng = K // G4 if is4 else 0
 
         def dma(slot, p):
             start = p * pw if col_base is None else col_base + p * pw
             src = w_hbm.at[:, pl.ds(start, pw)]
             dst = buf.at[slot] if exact else (
-                buf.at[slot, pl.ds(0, K), pl.ds(0, pw)])
+                buf.at[slot, pl.ds(0, rows), pl.ds(0, pw)])
             return pltpu.make_async_copy(src, dst, wsem.at[slot])
 
+        def mdma(slot, p):
+            start = p * pw if col_base is None else col_base + p * pw
+            return pltpu.make_async_copy(
+                m_hbm.at[pl.ds(0, ng), pl.ds(start, pw)],
+                mbuf.at[slot, pl.ds(0, ng), pl.ds(0, pw)], msem.at[slot])
+
         dma(0, 0).start()
+        if is4:
+            mdma(0, 0).start()
 
         def body(p, _):
             slot = jax.lax.rem(p, 2)
@@ -129,11 +153,30 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
             @pl.when(p + 1 < n_panels)
             def _():
                 dma(jax.lax.rem(p + 1, 2), p + 1).start()
+                if is4:
+                    mdma(jax.lax.rem(p + 1, 2), p + 1).start()
 
             dma(slot, p).wait()
-            w = buf[slot] if exact else buf[slot, pl.ds(0, K), pl.ds(0, pw)]
+            if is4:
+                mdma(slot, p).wait()
+                w8 = (buf[slot] if exact
+                      else buf[slot, pl.ds(0, rows), pl.ds(0, pw)])
+                qu = w8.astype(jnp.int32) & 0xFF
+                lo = qu & 0xF
+                hi = (qu >> 4) & 0xF
+                lo = jnp.where(lo < 8, lo, lo - 16)
+                hi = jnp.where(hi < 8, hi, hi - 16)
+                nib = jnp.concatenate([lo, hi], axis=0)          # [K, pw]
+                m = mbuf[slot, pl.ds(0, ng), pl.ds(0, pw)].astype(jnp.int32)
+                m = jnp.broadcast_to(
+                    m[:, None, :], (ng, G4, pw)).reshape(K, pw)
+                w = (nib * m).astype(dt)
+            else:
+                wv = buf[slot] if exact else (
+                    buf[slot, pl.ds(0, K), pl.ds(0, pw)])
+                w = wv.astype(dt)
             acc = jax.lax.dot_general(
-                x_dt, w.astype(dt), (((1,), (0,)), ((), ())),
+                x_dt, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             y_ref[:, pl.ds(p * pw, pw)] = acc
             return ()
@@ -233,7 +276,8 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
 
             xv = x_ref[:]
             a = rms2(xv, refs["ln1"][pl.ds(l, 1), :])
-            stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV)
+            stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV,
+                          m_hbm=refs["m_qkv"].at[l] if int4 else None)
             qkv = (y_ref[:, pl.ds(0, NQKV)]
                    * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
             q3 = qkv[:, : nq * hd].reshape(Bp, nq, hd)
@@ -256,20 +300,23 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
             vw.start()
 
             attn = attention(q3, kbuf[:], vbuf[:], pos)
-            stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H)
+            stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H,
+                          m_hbm=refs["m_wo"].at[l] if int4 else None)
             wo_out = (y_ref[:, pl.ds(0, H)]
                       * refs["sc_wo"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = xv + wo_out
 
             m = rms2(x_ref[:], refs["ln2"][pl.ds(l, 1), :])
-            stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F)
+            stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F,
+                          m_hbm=refs["m_gu"].at[l] if int4 else None)
             gu = (y_ref[:, pl.ds(0, 2 * F)]
                   * refs["sc_gu"][pl.ds(l, 1), :]).astype(dt)
             # explicit silu: jax.nn.silu on bf16 trips a Mosaic verifier bug
             # (f32 scalar broadcast into a bf16 vector)
             g = gu[:, :F].astype(jnp.float32)
             act = (g / (1.0 + jnp.exp(-g))).astype(dt) * gu[:, F:]
-            stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H)
+            stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H,
+                          m_hbm=refs["m_down"].at[l] if int4 else None)
             dn = (y_ref[:, pl.ds(0, H)]
                   * refs["sc_down"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = x_ref[:] + dn
@@ -280,7 +327,8 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
     def head_slice(q_idx):
         """logits_ref = head columns [q_idx*CV, (q_idx+1)*CV) of x_ref."""
         h = rms2(x_ref[:], refs["fnorm"][0:1, :])
-        stream_matmul(h, refs["whead"], wbuf_h, H, CV, col_base=q_idx * CV)
+        stream_matmul(h, refs["whead"], wbuf_h, H, CV, col_base=q_idx * CV,
+                      m_hbm=refs["m_head"] if int4 else None)
         lg = y_ref[:, pl.ds(0, CV)] * refs["sc_head"][pl.ds(q_idx, 1), :]
         if dense_round:     # XLA path rounds logits through cfg.dtype for
             # BOTH dense (h @ w in dt) and quantized heads (quant.linear does
@@ -370,13 +418,15 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, refs):
 
 
 def _split_w(w, n_out):
-    """(values, scales[f32, n_out-shaped ones if dense]) for a maybe-quant
-    weight."""
+    """(values, m8-or-None, scales[f32; ones if dense]) for a dense / int8 /
+    int4 weight. int4 values are the packed [.., K//2, N] nibble planes."""
     if isinstance(w, dict) and "q" in w:
-        return w["q"], w["scale"].astype(jnp.float32)
+        return w["q"], None, w["scale"].astype(jnp.float32)
+    if isinstance(w, dict) and "q4" in w:
+        return w["q4"], w["m8"], w["scale"].astype(jnp.float32)
     ones = jnp.ones(w.shape[:-2] + (n_out,), jnp.float32) if w.ndim == 3 \
         else jnp.ones((n_out,), jnp.float32)
-    return w, ones
+    return w, None, ones
 
 
 @functools.partial(jax.jit,
@@ -407,12 +457,20 @@ def frame_codes_fused(
     B8 = max(8, -(-B // 8) * 8)
 
     lw = params["layers"]
-    wqkv, sc_qkv = _split_w(lw["wqkv"], NQKV)
-    wo, sc_wo = _split_w(lw["wo"], H)
-    wgu, sc_gu = _split_w(lw["w_gu"], 2 * F)
-    wdown, sc_down = _split_w(lw["w_down"], H)
-    whead, sc_head = _split_w(params["head"], NB * CV)
+    wqkv, m_qkv, sc_qkv = _split_w(lw["wqkv"], NQKV)
+    wo, m_wo, sc_wo = _split_w(lw["wo"], H)
+    wgu, m_gu, sc_gu = _split_w(lw["w_gu"], 2 * F)
+    wdown, m_down, sc_down = _split_w(lw["w_down"], H)
+    whead, m_head, sc_head = _split_w(params["head"], NB * CV)
     dense_round = dt != jnp.float32
+    int4 = m_qkv is not None
+    if int4:
+        assert all(v is not None for v in (m_wo, m_gu, m_down, m_head)), \
+            "mixed int4/non-int4 predictor weights are not supported"
+    else:
+        dummy = jnp.zeros((L, 1, 1), jnp.int8)
+        m_qkv = m_wo = m_gu = m_down = dummy
+        m_head = dummy[0]
 
     # ptab comes pre-padded by make_ptab: rows >= ptab_rows are BIAS rows
     # (the reference's OOB-code result: zero codec row -> projection ->
@@ -441,12 +499,20 @@ def frame_codes_fused(
 
     cache0 = jnp.zeros((2, L, B * nk, T, hd), jnp.float32)
 
-    pwh = max(_pw(NQKV), _pw(H), _pw(2 * F), _pw(CV))
-    pwf = _pw(H)
+    # int4 packs two rows per byte AND halves row counts, so panels can be
+    # twice as wide for the same VMEM budget (matches ops/fused_talker.py)
+    wcap = 2 * PW if int4 else PW
+    pwh = max(_pw_w(NQKV, wcap), _pw_w(H, wcap), _pw_w(2 * F, wcap),
+              _pw_w(CV, wcap))
+    pwf = _pw_w(H, wcap)
+    wrows_h = H // 2 if int4 else H
+    wrows_f = F // 2 if int4 else F
+    ngmax = max(H, nq * hd, F) // quant_mod.GROUP4 if int4 else 1
     ymax = max(NQKV, 2 * F, H, CV)
 
     kern = functools.partial(_kernel, cfg=cfg, B=B, Bp=Bp, B8=B8,
-                             dense_round=dense_round, ptab_rows=R0)
+                             dense_round=dense_round, ptab_rows=R0,
+                             int4=int4, wcap=wcap)
 
     codes, _ = pl.pallas_call(
         kern,
@@ -469,6 +535,11 @@ def frame_codes_fused(
             pl.BlockSpec(memory_space=pl.ANY),       # wgu
             pl.BlockSpec(memory_space=pl.ANY),       # wdown
             pl.BlockSpec(memory_space=pl.ANY),       # whead
+            pl.BlockSpec(memory_space=pl.ANY),       # m_qkv
+            pl.BlockSpec(memory_space=pl.ANY),       # m_wo
+            pl.BlockSpec(memory_space=pl.ANY),       # m_gu
+            pl.BlockSpec(memory_space=pl.ANY),       # m_down
+            pl.BlockSpec(memory_space=pl.ANY),       # m_head
             pl.BlockSpec(memory_space=pl.ANY),       # ptab
             pl.BlockSpec(memory_space=pl.ANY),       # cache (aliased)
         ],
@@ -480,7 +551,7 @@ def frame_codes_fused(
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
             jax.ShapeDtypeStruct(cache0.shape, jnp.float32),
         ),
-        input_output_aliases={19: 1},
+        input_output_aliases={24: 1},
         scratch_shapes=[
             pltpu.VMEM((Bp, H), dt),                       # x
             pltpu.VMEM((Bp, ymax), jnp.float32),           # y
@@ -488,10 +559,12 @@ def frame_codes_fused(
             pltpu.VMEM((Bp, H), jnp.float32),              # acc
             pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # kbuf
             pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # vbuf
-            pltpu.VMEM((2, H, pwh), wqkv.dtype),           # wbuf_h
-            pltpu.VMEM((2, F, pwf), wdown.dtype),          # wbuf_f
+            pltpu.VMEM((2, wrows_h, pwh), wqkv.dtype),     # wbuf_h
+            pltpu.VMEM((2, wrows_f, pwf), wdown.dtype),    # wbuf_f
+            pltpu.VMEM((2, ngmax, pwh), jnp.int8),         # mbuf
             pltpu.VMEM((2, _pw(R), H), dt),                # rbuf
             pltpu.SemaphoreType.DMA((2,)),                 # wsem
+            pltpu.SemaphoreType.DMA((2,)),                 # msem
             pltpu.SemaphoreType.DMA((2,)),                 # rsem
             pltpu.SemaphoreType.DMA(()),                   # krsem
             pltpu.SemaphoreType.DMA(()),                   # vrsem
@@ -505,7 +578,8 @@ def frame_codes_fused(
       lw["q_norm"].astype(jnp.float32), lw["k_norm"].astype(jnp.float32),
       params["final_norm"].reshape(1, H).astype(jnp.float32),
       sc_qkv, sc_wo, sc_gu, sc_down, sc_head.reshape(NB, CV),
-      wqkv, wo, wgu, wdown, whead, ptab, cache0)
+      wqkv, wo, wgu, wdown, whead,
+      m_qkv, m_wo, m_gu, m_down, m_head, ptab, cache0)
 
     codes = codes[:B, :NB]
     return jnp.concatenate([code_0[:, None], codes[:, 1:]], axis=1)
@@ -513,21 +587,25 @@ def frame_codes_fused(
 
 def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
             sc_qkv, sc_wo, sc_gu, sc_down, sc_head,
-            wqkv, wo, wgu, wdown, whead, ptab, cache_in,
+            wqkv, wo, wgu, wdown, whead,
+            m_qkv, m_wo, m_gu, m_down, m_head, ptab, cache_in,
             codes, cache_out,
-            x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, rbuf,
-            wsem, rsem, krsem, vrsem, kwsem, vwsem,
-            *, cfg, B, Bp, B8, dense_round, ptab_rows):
+            x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, mbuf, rbuf,
+            wsem, msem, rsem, krsem, vrsem, kwsem, vwsem,
+            *, cfg, B, Bp, B8, dense_round, ptab_rows, int4, wcap):
     refs = dict(
         e01=e01, cos=cos, sin=sin, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
         fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
         sc_down=sc_down, sc_head=sc_head, wqkv=wqkv, wo=wo, wgu=wgu,
-        wdown=wdown, whead=whead, ptab=ptab, cache_out=cache_out,
+        wdown=wdown, whead=whead,
+        m_qkv=m_qkv, m_wo=m_wo, m_gu=m_gu, m_down=m_down, m_head=m_head,
+        ptab=ptab, cache_out=cache_out,
         codes=codes, x=x, y=y, logits=logits, acc=acc, kbuf=kbuf,
-        vbuf=vbuf, wbuf_h=wbuf_h, wbuf_f=wbuf_f, rbuf=rbuf, wsem=wsem,
+        vbuf=vbuf, wbuf_h=wbuf_h, wbuf_f=wbuf_f, mbuf=mbuf, rbuf=rbuf,
+        wsem=wsem, msem=msem,
         rsem=rsem, krsem=krsem, vrsem=vrsem, kwsem=kwsem, vwsem=vwsem,
     )
-    _kernel_body(cfg, B, dense_round, ptab_rows, refs)
+    _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs)
 
 
 def make_ptab(assets, cfg):
@@ -554,7 +632,7 @@ def make_ptab(assets, cfg):
     return pt.astype(jnp.dtype(cfg.dtype)), rows
 
 
-def usable(cfg, batch: int) -> bool:
+def usable(cfg, batch: int, params=None) -> bool:
     """Static eligibility of the fused kernel for compiled execution."""
     if os.environ.get("QWEN3_TTS_NO_FUSED") == "1":
         return False
@@ -567,7 +645,7 @@ def usable(cfg, batch: int) -> bool:
     H, F = cfg.hidden, cfg.ffn_dim
     NQKV = (cfg.n_q_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
     max_b = 16
-    return (
+    ok = (
         cfg.n_q_heads % cfg.n_kv_heads == 0
         and cfg.head_dim % 128 == 0
         and cfg.n_q_heads * cfg.head_dim <= H  # wbuf_h is [2, H, pw]; the wo
@@ -581,3 +659,9 @@ def usable(cfg, batch: int) -> bool:
         and cfg.max_seq % 8 == 0
         and batch <= max_b
     )
+    if ok and params is not None and quant_mod.is_quantized4(
+            params["layers"]["wqkv"]):
+        g2 = 2 * quant_mod.GROUP4               # packed halves x k-groups
+        ok = (H % g2 == 0 and F % g2 == 0
+              and (cfg.n_q_heads * cfg.head_dim) % g2 == 0)
+    return ok

@@ -85,7 +85,8 @@ def _predict_codes(
     if (
         fused_rows > 0
         and "pred_ptab" in models
-        and fused_predictor.usable(pred_cfg, code0.shape[0])
+        and fused_predictor.usable(pred_cfg, code0.shape[0],
+                                   models["predictor"])
     ):
         return fused_predictor.frame_codes_fused(
             models["predictor"], pred_cfg, models["pred_ptab"], fused_rows,

@@ -94,6 +94,28 @@ def test_fused_matches_xla_bf16_quantized():
     assert jnp.array_equal(ref, got), (ref, got)
 
 
+def test_fused_matches_xla_int4():
+    """Grouped-int4 weights (Q4_K-class): the kernel's panel dequant must
+    reproduce quant.dequant4_dt bit-for-bit, so greedy codes match the XLA
+    int4 path (quant.qmatmul4) exactly on f32 configs. Geometry needs
+    K % (2*GROUP4) == 0 for every matmul, hence the 256-wide config."""
+    cfg = PredictorConfig(
+        hidden=256, n_layers=2, n_q_heads=2, n_kv_heads=2, head_dim=128,
+        ffn_dim=256, max_seq=32, mrope_sections=(64, 0, 0, 0),
+        dtype="float32",
+    )
+    params, assets, ptab, key = _setup(cfg, seed=5)
+    params_q = quant.quantize_decoder_params(params, kind="int4")
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (2, cfg.hidden), jnp.float32)
+    code0 = jnp.array([3, 70], jnp.int32)
+
+    ref = predictor.frame_codes(params_q, cfg, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params_q, cfg, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got), (ref, got)
+
+
 def test_fused_oob_code0_uses_bias_row():
     # codec_embedding clamps OOB rows to zeros, so codec_embedding_1024
     # becomes just the projection bias; ptab's padded rows must reproduce it
@@ -142,7 +164,8 @@ def test_generate_codes_fused_wiring(monkeypatch):
     dense_codes, dense_n = generate.generate_codes(models, *args)
 
     ptab, rows = fused_predictor.make_ptab(models["assets"], ecfg.predictor)
-    monkeypatch.setattr(fused_predictor, "usable", lambda cfg, b: True)
+    monkeypatch.setattr(fused_predictor, "usable",
+                        lambda cfg, b, p=None: True)
     orig = fused_predictor.frame_codes_fused
     monkeypatch.setattr(
         fused_predictor, "frame_codes_fused",
