@@ -8,6 +8,12 @@ config with seeded random bf16 weights (reference weights are not
 redistributable in this container; FLOP/byte volumes and code paths are
 identical — only argmax values differ).
 
+Headline config is grouped int4 (Q4_K-class, ops/quant.py): the int8
+roofline (~3.2 GB of weight reads/frame) cannot reach the RTF <= 0.05
+target, int4 halves it (VERDICT r2 #1). int8 falls back if int4 fails and
+both are reported, with a greedy codes-divergence A/B across bf16/int8/int4
+(stderr) quantifying the quant ladder.
+
 Methodology note: this environment reaches the TPU through a relay tunnel
 where (a) repeated dispatch of an identical computation can return without
 re-executing and (b) per-dispatch host round-trips cost seconds. Both are
@@ -68,11 +74,11 @@ def main() -> int:
     # real chip-claim stall into the first timed call instead of the warmup
     seed_base = (int(time.time()) % 1_000_000) * 100
 
-    def measure_gen(mdl, tag, seed_off=0, rows=0):
+    def measure_gen(mdl, tag, seed_off=0, rows=0, temperature=0.7):
         def gen(seed):
             return generate.generate_codes(
                 mdl, cfg.talker, cfg.predictor, prompt, pad,
-                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS,
+                jax.random.key(seed), temperature, 40, 0.9, N_STEPS,
                 fused_rows=rows)
 
         # warmup / compile (two rounds: remote compile can finish lazily, so
@@ -126,15 +132,35 @@ def main() -> int:
               file=sys.stderr)
         return fms
 
-    # int8 FIRST (per-channel scales, Pallas fused dequant-matmul): the
-    # production serving config and the headline number — measured before
-    # everything else so a relay straggler late in the run cannot cost the
-    # JSON line.
-    models_q = {
-        "talker": quant.quantize_decoder_params(models["talker"]),
-        "predictor": quant.quantize_decoder_params(models["predictor"]),
-        "assets": models["assets"],
-    }
+    def measure_first_chunk(mdl, rows, seed_off=90):
+        """Wall-clock submit -> first 333 ms audio chunk on host (warm
+        programs, cold per-request state): prefill + 4 frames + 4-frame
+        vocode. Replaces the 4*(frame+voc) estimate (VERDICT r2 #4)."""
+        prefill_fn, step_fn = generate.make_stream_fns(
+            cfg.talker, cfg.predictor, 40, frames_per_call=4,
+            fused_rows=rows)
+
+        def first_chunk(seed):
+            st = prefill_fn(mdl, prompt, pad, jax.random.key(seed),
+                            0.7, 0.9)
+            st, codes, active = step_fn(mdl, st)
+            wav, _, _ = vocoder.decode(
+                voc_params, cfg.vocoder, codes[:, :4],
+                vocoder.init_state(cfg.vocoder, 1), False)
+            return jax.device_get(wav)     # host fetch: audio is deliverable
+
+        for i in (0, 1):                   # compile + warm all three programs
+            first_chunk(seed_base + seed_off + i)
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            first_chunk(seed_base + seed_off + 2 + i)
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        print(f"first-chunk: {[round(t*1e3,1) for t in times]} ms "
+              f"-> median {med*1e3:.1f} ms", file=sys.stderr)
+        return med * 1e3
+
     # fused predictor kernel (ops/fused_predictor.py): whole frame expansion
     # in one pallas_call; eligibility re-checked inside generate._predict_codes
     from qwen3_tts_tpu.ops import fused_predictor
@@ -142,11 +168,37 @@ def main() -> int:
     if fused_predictor.usable(cfg.predictor, 1):
         ptab, ptab_rows = fused_predictor.make_ptab(models["assets"],
                                                     cfg.predictor)
-        for m in (models, models_q):
-            m["pred_ptab"] = ptab
-    jax.block_until_ready(models_q)
-    frame_ms_int8, codes = measure_gen(models_q, "int8", rows=ptab_rows)
-    frame_ms = frame_ms_int8
+        models["pred_ptab"] = ptab
+
+    # int4 FIRST (grouped Q4_K-class, Pallas fused dequant-matmul): the
+    # headline serving config — measured before everything else so a relay
+    # straggler late in the run cannot cost the JSON line. int8 fallback.
+    headline = "int4"
+    try:
+        models_q = {
+            "talker": quant.quantize_decoder_params(models["talker"],
+                                                    kind="int4"),
+            "predictor": quant.quantize_decoder_params(models["predictor"],
+                                                       kind="int4"),
+            "assets": models["assets"],
+        }
+        if ptab_rows:
+            models_q["pred_ptab"] = models["pred_ptab"]
+        jax.block_until_ready(models_q)
+        frame_ms, codes = measure_gen(models_q, "int4", rows=ptab_rows)
+    except Exception as e:                  # pragma: no cover - HW fallback
+        print(f"int4 path failed ({e}); falling back to int8",
+              file=sys.stderr)
+        headline = "int8"
+        models_q = {
+            "talker": quant.quantize_decoder_params(models["talker"]),
+            "predictor": quant.quantize_decoder_params(models["predictor"]),
+            "assets": models["assets"],
+        }
+        if ptab_rows:
+            models_q["pred_ptab"] = models["pred_ptab"]
+        jax.block_until_ready(models_q)
+        frame_ms, codes = measure_gen(models_q, "int8", rows=ptab_rows)
 
     # vocoder: fused decode of the full code matrix, fresh codes per call
     for seed in (seed_base + 80, seed_base + 81):   # compile + warmup
@@ -168,14 +220,22 @@ def main() -> int:
     print(f"vocoder: {[round(t,3) for t in voc_times]} s "
           f"-> median {voc_frame_ms:.2f} ms/frame", file=sys.stderr)
 
+    # measured first-chunk latency (prefill + 4 frames + vocode, wall clock)
+    try:
+        first_chunk_ms = measure_first_chunk(models_q, ptab_rows)
+        first_chunk_kind = "measured"
+    except Exception as e:                  # pragma: no cover - HW fallback
+        print(f"first-chunk measurement failed ({e}); estimating",
+              file=sys.stderr)
+        first_chunk_ms = 4 * (frame_ms + voc_frame_ms)
+        first_chunk_kind = "estimated"
+
     frame_audio_s = P.FRAME_SAMPLES / P.SAMPLE_RATE      # 1/12 s
     rtf = (frame_ms + voc_frame_ms) / 1e3 / frame_audio_s
     audio_per_s = 1.0 / rtf
-    # first chunk = prefill(amortised in while_loop) + 4 frames + 4-frame vocode
-    first_chunk_ms = 4 * (frame_ms + voc_frame_ms)
 
     print(f"RTF/stream: {rtf:.4f}  (audio-s/s/chip: {audio_per_s:.2f}; "
-          f"first-chunk est: {first_chunk_ms:.0f} ms)", file=sys.stderr)
+          f"first-chunk: {first_chunk_ms:.0f} ms)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "rtf_per_stream",
@@ -183,26 +243,84 @@ def main() -> int:
         "unit": "s_compute/s_audio",
         "vs_baseline": round(0.553 / rtf, 2),
         "detail": {
-            "frame_ms_int8": round(frame_ms_int8, 3),
+            "quant": headline,
+            f"frame_ms_{headline}": round(frame_ms, 3),
             "vocoder_frame_ms": round(voc_frame_ms, 3),
-            "first_chunk_ms_est": round(first_chunk_ms, 1),
+            "first_chunk_ms": round(first_chunk_ms, 1),
+            "first_chunk_kind": first_chunk_kind,
             "audio_seconds_per_s_per_chip": round(audio_per_s, 2),
             "n_steps": N_STEPS,
             "device": str(dev),
         },
     }), flush=True)
 
-    # --- supplementary (stderr): bf16 single-stream + batch-8 throughput ---
+    # --- supplementary (stderr): batch-8 throughput (fused int4), int8 /
+    # bf16 single-stream, and the greedy codes-divergence quant ladder ---
     try:
-        frame_ms_bf16, _ = measure_gen(models, "bf16", seed_off=20,
-                                       rows=ptab_rows)
         B_TP = 8
-        frame_ms_b8 = measure_gen_batch(models_q, B_TP, "batch8",
+        frame_ms_b8 = measure_gen_batch(models_q, B_TP, f"batch8-{headline}",
                                         rows=ptab_rows)
         throughput_b8 = (B_TP * frame_audio_s
                          / ((frame_ms_b8 + voc_frame_ms) / 1e3))
-        print(f"bf16 frame: {frame_ms_bf16:.2f} ms; batch8 throughput: "
-              f"{throughput_b8:.2f} audio-s/s/chip", file=sys.stderr)
+        print(f"batch8 throughput: {throughput_b8:.2f} audio-s/s/chip",
+              file=sys.stderr)
+    except Exception as e:   # supplementary metrics must never fail the run
+        print(f"batch8 bench skipped: {e}", file=sys.stderr)
+
+    try:
+        # greedy codes ladder: same prompt, temperature 0 (reuses the
+        # compiled programs — temperature is a traced argument)
+        def greedy_codes(mdl, rows):
+            c, n = generate.generate_codes(
+                mdl, cfg.talker, cfg.predictor, prompt, pad,
+                jax.random.key(seed_base + 70), 0.0, 40, 0.9, N_STEPS,
+                fused_rows=rows)
+            return jax.device_get(c[0]), int(jax.device_get(n)[0])
+
+        c4, n4 = greedy_codes(models_q, ptab_rows)
+
+        models_q8 = {
+            "talker": quant.quantize_decoder_params(models["talker"]),
+            "predictor": quant.quantize_decoder_params(models["predictor"]),
+            "assets": models["assets"],
+        }
+        if ptab_rows:
+            models_q8["pred_ptab"] = models["pred_ptab"]
+        jax.block_until_ready(models_q8)
+        frame_ms_q8, _ = measure_gen(models_q8, "int8", seed_off=20,
+                                     rows=ptab_rows)
+        c8, n8 = greedy_codes(models_q8, ptab_rows)
+        del models_q8
+
+        cb, nb = greedy_codes(models, ptab_rows)
+
+        def diverge(a, na, b, nbf, tag):
+            n = min(na, nbf, N_STEPS)
+            if n == 0:
+                print(f"codes-divergence {tag}: no frames", file=sys.stderr)
+                return
+            import numpy as np
+            frames_differ = float(
+                np.mean(np.any(a[:n] != b[:n], axis=-1)))
+            first = int(np.argmax(np.any(a[:n] != b[:n], axis=-1))) \
+                if frames_differ > 0 else -1
+            print(f"codes-divergence {tag}: frames_differ_frac="
+                  f"{frames_differ:.3f} first_diff_frame="
+                  f"{first if frames_differ else 'none'} "
+                  f"(n={n}, n_frames a={na} b={nbf}); free-running greedy — "
+                  f"one near-tie flip desynchronises the rest of the "
+                  f"sequence, so this upper-bounds per-step disagreement",
+                  file=sys.stderr)
+
+        diverge(c8, n8, cb, nb, "int8-vs-bf16")
+        diverge(c4, n4, cb, nb, f"{headline}-vs-bf16")
+        diverge(c4, n4, c8, n8, f"{headline}-vs-int8")
+
+        frame_ms_bf16, _ = measure_gen(models, "bf16", seed_off=30,
+                                       rows=ptab_rows)
+        print(f"single-stream frame ms: {headline}={frame_ms:.2f} "
+              f"int8={frame_ms_q8:.2f} bf16={frame_ms_bf16:.2f}",
+              file=sys.stderr)
     except Exception as e:   # supplementary metrics must never fail the run
         print(f"supplementary bench skipped: {e}", file=sys.stderr)
     return 0

@@ -101,10 +101,12 @@ def _kernel_body(cfg, B, int4, refs):
     wsem, msem = refs["wsem"], refs["msem"]
     ksem, vsem = refs["ksem"], refs["vsem"]
     acc_ref, m_ref, l_ref = refs["acc"], refs["m"], refs["l"]
+    qref = refs["q"]
     kc, vc = refs["kc"], refs["vc"]
     knew, vnew = refs["knew"], refs["vnew"]
-    kvlen = refs["kvlen"][:]          # [Ra, 1] i32
-    vfrom = refs["vfrom"][:]
+    kvlen_s = refs["kvlen"]           # SMEM [B] i32 (per batch row)
+    vfrom_s = refs["vfrom"]           # SMEM [B] i32
+    kvmax_s = refs["kvmax"]           # SMEM [1] i32 (max over rows)
 
     # single-rounding rms (all f32 math, one cast): bit-matches
     # models/decoder.rms_norm, which XLA compiles with intermediate casts
@@ -194,17 +196,23 @@ def _kernel_body(cfg, B, int4, refs):
         jax.lax.fori_loop(0, n_panels, body, ())
 
     # ---- attention helpers -------------------------------------------------
-    C = BK * ABLK                      # score columns per block
+    # The prefix loop is flattened over (batch row, slot block) pairs in
+    # row-major order: each DMA stages ONE row's [nk, ABLK, hd] cache block,
+    # so VMEM staging is constant in B and the block-diagonal score waste
+    # stays linear in B (a flat [B*nk*ABLK] layout would make it quadratic).
+    C = nk * ABLK                      # score columns per block (one row)
 
-    def attn_dma(slot, l, i):
+    def attn_dma(slot, l, b, i):
         return (
             pltpu.make_async_copy(
-                kc.at[l, :, pl.ds(i * ABLK, ABLK), :], kbuf.at[slot], ksem),
+                kc.at[l, pl.ds(pl.multiple_of(b * nk, nk), nk),
+                      pl.ds(i * ABLK, ABLK), :], kbuf.at[slot], ksem),
             pltpu.make_async_copy(
-                vc.at[l, :, pl.ds(i * ABLK, ABLK), :], vbuf.at[slot], vsem),
+                vc.at[l, pl.ds(pl.multiple_of(b * nk, nk), nk),
+                      pl.ds(i * ABLK, ABLK), :], vbuf.at[slot], vsem),
         )
 
-    # static row->kv-row map for the block-diagonal masks / current-token fold
+    # static row->kv-row map for the current-token fold
     def row_kv_2d(cols):
         r2 = jax.lax.broadcasted_iota(jnp.int32, (Ra, cols), 0)
         return (r2 // nq) * nk + (r2 % nq) // g       # rows >= B*nq: unused
@@ -222,52 +230,64 @@ def _kernel_body(cfg, B, int4, refs):
             qf = jnp.concatenate(
                 [qf, jnp.zeros((Ra - R0, hd), jnp.float32)], axis=0)
         qf = qf / jnp.sqrt(jnp.float32(hd))   # divide: flash_decode parity
+        qref[:] = qf
 
         acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
         m_ref[:] = jnp.full(m_ref.shape, NEG, jnp.float32)
         l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
 
-        n_blocks = jnp.maximum(pl.cdiv(jnp.max(kvlen), ABLK), 1)
-        row_kv = row_kv_2d(C)
-        col_kv = jax.lax.broadcasted_iota(jnp.int32, (Ra, C), 1) // ABLK
-        col_off = jax.lax.broadcasted_iota(jnp.int32, (Ra, C), 1) % ABLK
-        keep = row_kv == col_kv
+        n_blocks = jnp.maximum(pl.cdiv(kvmax_s[0], ABLK), 1)
+        total = B * n_blocks
+        # static within-row maps: q row r -> local kv head r // g
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 0) // g
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 1) // ABLK
+        col_off = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 1) % ABLK
+        keep = row_h == col_h
 
-        def body(i, _):
-            slot = jax.lax.rem(i, 2)
+        def body(t, _):
+            slot = jax.lax.rem(t, 2)
+            b = t // n_blocks
+            i = jax.lax.rem(t, n_blocks)
 
-            @pl.when(i + 1 < n_blocks)
+            @pl.when(t + 1 < total)
             def _():
-                ka, va = attn_dma(jax.lax.rem(i + 1, 2), l, i + 1)
+                ka, va = attn_dma(jax.lax.rem(t + 1, 2), l,
+                                  (t + 1) // n_blocks,
+                                  jax.lax.rem(t + 1, n_blocks))
                 ka.start()
                 va.start()
 
-            ka, va = attn_dma(slot, l, i)
+            ka, va = attn_dma(slot, l, b, i)
             ka.wait()
             va.wait()
 
             kf = kbuf[slot].reshape(C, hd).astype(jnp.float32)
             vf = vbuf[slot].reshape(C, hd).astype(jnp.float32)
+            roff = pl.multiple_of(b * nq, nq)
+            qrow = qref[pl.ds(roff, nq), :]
             scores = jax.lax.dot_general(
-                qf, kf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [Ra, C]
+                qrow, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [nq, C]
             pos = i * ABLK + col_off
-            ok = keep & (pos < kvlen) & (pos >= vfrom)
+            ok = keep & (pos < kvlen_s[b]) & (pos >= vfrom_s[b])
             scores = jnp.where(ok, scores, NEG)
 
-            m_prev = m_ref[:]
+            m_prev = m_ref[pl.ds(roff, nq), :][:, 0:1]       # [nq, 1]
             m_cur = jnp.max(scores, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.where(ok, jnp.exp(scores - m_new), 0.0)
-            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-                p, vf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m_ref[:] = m_new
+            l_prev = l_ref[pl.ds(roff, nq), :][:, 0:1]
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[pl.ds(roff, nq), :] = (
+                acc_ref[pl.ds(roff, nq), :] * alpha + jax.lax.dot_general(
+                    p, vf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            m_ref[pl.ds(roff, nq), :] = jnp.broadcast_to(m_new, (nq, 128))
+            l_ref[pl.ds(roff, nq), :] = jnp.broadcast_to(l_new, (nq, 128))
             return ()
 
-        jax.lax.fori_loop(0, n_blocks, body, ())
+        jax.lax.fori_loop(0, total, body, ())
 
         # fold the current token (always valid: causal self-attention)
         kn = k3[:B].reshape(BK, hd).astype(jnp.float32)
@@ -282,11 +302,11 @@ def _kernel_body(cfg, B, int4, refs):
             gmap, vn, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         s_new = jnp.sum(qf * k_rows, axis=-1, keepdims=True)
-        m_prev = m_ref[:]
+        m_prev = m_ref[:][:, 0:1]
         m_fin = jnp.maximum(m_prev, s_new)
         alpha = jnp.exp(m_prev - m_fin)
         p_new = jnp.exp(s_new - m_fin)
-        l_fin = l_ref[:] * alpha + p_new
+        l_fin = l_ref[:][:, 0:1] * alpha + p_new
         out = (acc_ref[:] * alpha + p_new * v_rows) / jnp.maximum(
             l_fin, 1e-30)
         attn = out[:R0].astype(dt).reshape(B, nq * hd)
@@ -311,7 +331,7 @@ def _kernel_body(cfg, B, int4, refs):
 
     def layer(l, _):
         # prefetch this layer's first attention block behind the qkv matmul
-        ka0, va0 = attn_dma(0, l, 0)
+        ka0, va0 = attn_dma(0, l, 0, 0)
         ka0.start()
         va0.start()
 
@@ -377,25 +397,25 @@ def _kernel_body(cfg, B, int4, refs):
     refs["logits"][:] = lg
 
 
-def _kernel(x0, cos_q, sin_q, cos_k, sin_k, kvlen, vfrom,
+def _kernel(x0, cos_q, sin_q, cos_k, sin_k, kvlen, vfrom, kvmax,
             ln1, ln2, qn, kn, fnorm,
             sc_qkv, sc_wo, sc_gu, sc_down, sc_head,
             wqkv, wo, wgu, wdown, whead,
             m_qkv, m_wo, m_gu, m_down, m_head, kc, vc,
             hidden, logits, knew, vnew,
             x, y, kbuf, vbuf, wbuf_h, wbuf_f, mbuf,
-            acc, m, l, wsem, msem, ksem, vsem,
+            acc, m, l, q, wsem, msem, ksem, vsem,
             *, cfg, B, int4):
     refs = dict(
         x0=x0, cos_q=cos_q, sin_q=sin_q, cos_k=cos_k, sin_k=sin_k,
-        kvlen=kvlen, vfrom=vfrom, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
-        fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
+        kvlen=kvlen, vfrom=vfrom, kvmax=kvmax, ln1=ln1, ln2=ln2, qn=qn,
+        kn=kn, fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
         sc_down=sc_down, sc_head=sc_head,
         wqkv=wqkv, wo=wo, wgu=wgu, wdown=wdown, whead=whead,
         m_qkv=m_qkv, m_wo=m_wo, m_gu=m_gu, m_down=m_down, m_head=m_head,
         kc=kc, vc=vc, hidden=hidden, logits=logits, knew=knew, vnew=vnew,
         x=x, y=y, kbuf=kbuf, vbuf=vbuf,
-        wbuf_h=wbuf_h, wbuf_f=wbuf_f, mbuf=mbuf, acc=acc, m=m, l=l,
+        wbuf_h=wbuf_h, wbuf_f=wbuf_f, mbuf=mbuf, acc=acc, m=m, l=l, q=q,
         wsem=wsem, msem=msem, ksem=ksem, vsem=vsem,
     )
     _kernel_body(cfg, B, int4, refs)
@@ -482,14 +502,10 @@ def talker_step_fused(
     cos_k = jnp.broadcast_to(cos[:, None], (Bp, nk, hd))
     sin_k = jnp.broadcast_to(sin[:, None], (Bp, nk, hd))
 
-    # per-attention-row prefix bounds: row r -> batch row r // nq
+    # per-batch-row prefix bounds, read as SMEM scalars in the kernel
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(B)
     valid_from = jnp.asarray(valid_from, jnp.int32).reshape(B)
-    rb = jnp.arange(Ra, dtype=jnp.int32) // nq
-    rb = jnp.minimum(rb, B - 1)
-    pad_row = jnp.arange(Ra, dtype=jnp.int32) >= B * nq
-    kvlen_row = jnp.where(pad_row, 0, kv_len[rb])[:, None]    # [Ra, 1]
-    vfrom_row = jnp.where(pad_row, 0, valid_from[rb])[:, None]
+    kv_max = jnp.max(kv_len).reshape(1)
 
     kc = k_cache.reshape(L, B * nk, T, hd)
     vc = v_cache.reshape(L, B * nk, T, hd)
@@ -497,11 +513,12 @@ def talker_step_fused(
     ymax = max(NQKV, 2 * F, H, V)
     kern = functools.partial(_kernel, cfg=cfg, B=B, int4=int4)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     aspec = pl.BlockSpec(memory_space=pl.ANY)
 
     hidden, logits, knew, vnew = pl.pallas_call(
         kern,
-        in_specs=[vspec] * 17 + [aspec] * 12,                   # weights+cache
+        in_specs=[vspec] * 5 + [sspec] * 3 + [vspec] * 10 + [aspec] * 12,
         out_specs=(vspec, vspec, vspec, vspec),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, H), dt),                  # hidden
@@ -512,14 +529,15 @@ def talker_step_fused(
         scratch_shapes=[
             pltpu.VMEM((Bp, H), jnp.float32),                   # x (residual)
             pltpu.VMEM((Bp, ymax), jnp.float32),                # y
-            pltpu.VMEM((2, B * nk, ABLK, hd), kc.dtype),        # kbuf
-            pltpu.VMEM((2, B * nk, ABLK, hd), vc.dtype),        # vbuf
+            pltpu.VMEM((2, nk, ABLK, hd), kc.dtype),            # kbuf (1 row)
+            pltpu.VMEM((2, nk, ABLK, hd), vc.dtype),            # vbuf
             pltpu.VMEM((2, wrows_h, wcap), wqkv.dtype),         # wbuf_h
             pltpu.VMEM((2, wrows_f, fcap), wdown.dtype),        # wbuf_f
             pltpu.VMEM((2, ngmax, wcap), jnp.int8),             # mbuf
             pltpu.VMEM((Ra, hd), jnp.float32),                  # acc
-            pltpu.VMEM((Ra, 1), jnp.float32),                   # m
-            pltpu.VMEM((Ra, 1), jnp.float32),                   # l
+            pltpu.VMEM((Ra, 128), jnp.float32),                 # m
+            pltpu.VMEM((Ra, 128), jnp.float32),                 # l
+            pltpu.VMEM((Ra, hd), jnp.float32),                  # q
             pltpu.SemaphoreType.DMA((2,)),                      # wsem
             pltpu.SemaphoreType.DMA((2,)),                      # msem
             pltpu.SemaphoreType.DMA(()),                        # ksem
@@ -527,7 +545,7 @@ def talker_step_fused(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(xp, cos_q, sin_q, cos_k, sin_k, kvlen_row, vfrom_row,
+    )(xp, cos_q, sin_q, cos_k, sin_k, kv_len, valid_from, kv_max,
       lw["ln1"].astype(jnp.float32), lw["ln2"].astype(jnp.float32),
       lw["q_norm"].astype(jnp.float32), lw["k_norm"].astype(jnp.float32),
       params["final_norm"].reshape(1, H).astype(jnp.float32),
@@ -581,8 +599,9 @@ def usable(cfg, batch: int, params=None) -> bool:
         and (2 * F) % 256 == 0
         and V % 128 == 0
         and cfg.max_seq % ABLK == 0
-        and batch * cfg.n_q_heads >= 8          # one attention-row tile
-        and batch <= 2                          # kbuf/vbuf VMEM budget
+        and cfg.n_q_heads % 8 == 0              # per-row q slices must be
+                                                # sublane-aligned f32 tiles
+        and batch <= 16                         # Ra/knew/vnew VMEM budget
     )
     if ok and params is not None and quant_mod.is_quantized4(
             params["layers"]["wqkv"]):

@@ -238,7 +238,10 @@ def quantize_decoder_params(params: Dict[str, Any],
         return {"q": q.astype(jnp.int8), "scale": scale}
 
     def q3_int4(w):  # [L, in, out] -> stacked int4 dicts
-        return jax.vmap(quantize_int4)(jnp.asarray(w))
+        # sequential over layers (lax.map, not vmap): quantization builds
+        # f32 temporaries of the full matrix, and a vmapped stack of them
+        # OOMs HBM on real-size models (28 x [2048, 12288] f32 transients)
+        return jax.lax.map(quantize_int4, jnp.asarray(w))
 
     qfn3 = q3 if kind == "int8" else q3_int4
     qfn2 = quantize if kind == "int8" else quantize_int4

@@ -66,7 +66,9 @@ def _fused_step(params, cfg, fb, slot, pad, cache):
     return h, logits, {"k": k, "v": v}
 
 
-@pytest.mark.parametrize("batch,pad", [(1, [0]), (2, [0, 3])])
+@pytest.mark.parametrize(
+    "batch,pad",
+    [(1, [0]), (2, [0, 3]), (8, [0, 3, 1, 0, 2, 4, 0, 1])])
 def test_fused_matches_flash_xla(batch, pad, monkeypatch):
     S = 5
     params, cache, pad, fb = _setup(CFG, batch, S, pad)

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""On-device kernel A/B smoke: fused kernels vs the XLA path, real TPU.
+
+Runs the flagship geometry with seeded random weights through both
+compute paths and reports per-step agreement as ONE JSON line on stdout:
+
+  * fused talker decode step (ops/fused_talker.py) vs decoder.forward
+    (flash path), int8 and int4 weights;
+  * fused predictor frame expansion (ops/fused_predictor.py) vs
+    models/predictor.frame_codes, int8 and int4.
+
+Teacher-forced comparison (each step starts from the SAME state) because a
+single near-tie greedy flip would desynchronise free-running sequences —
+per-step agreement is the well-defined metric. Driven by
+tests/test_tpu_smoke.py (skipped off-TPU); also runnable by hand.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"ok": False, "reason": "no tpu backend",
+                          "backend": jax.default_backend()}))
+        return 0
+
+    from qwen3_tts_tpu.core import protocol as P
+    from qwen3_tts_tpu.core.config import EngineConfig
+    from qwen3_tts_tpu.assets import tables
+    from qwen3_tts_tpu.models import decoder, predictor
+    from qwen3_tts_tpu.ops import fused_predictor, fused_talker, quant
+
+    cfg = EngineConfig()
+    tc, pc = cfg.talker, cfg.predictor
+    dt = jnp.dtype(tc.dtype)
+    report = {"ok": True, "device": str(jax.devices()[0])}
+
+    k = jax.random.split(jax.random.key(0), 4)
+    params_t = decoder.init_decoder(k[0], tc)
+    params_p = decoder.init_decoder(k[1], pc)
+    assets = tables.random_assets(
+        k[2], text_vocab=P.TEXT_VOCAB, codec_rows=3072,
+        dim=tc.hidden, proj_dim=pc.hidden)
+    ptab, rows = fused_predictor.make_ptab(assets, pc)
+    jax.block_until_ready((params_t, params_p, ptab))
+
+    PREFILL, STEPS = 64, 4
+
+    pt = pp = None
+    for kind in ("int8", "int4"):
+        del pt, pp                    # free the previous kind's HBM first
+        pt = quant.quantize_decoder_params(params_t, kind=kind)
+        pp = quant.quantize_decoder_params(params_p, kind=kind)
+        jax.block_until_ready((pt, pp))
+
+        # ---- talker: teacher-forced step agreement over STEPS steps ----
+        for B in (1, 2, 8):
+            if not fused_talker.usable(tc, B, pt):
+                report[f"talker_{kind}_b{B}"] = "not usable"
+                continue
+            pad = jnp.zeros((B,), jnp.int32)
+            cache = decoder.init_kv_cache(tc, B)
+            x = 0.05 * jax.random.normal(
+                jax.random.key(11), (B, PREFILL, tc.hidden)).astype(dt)
+            pos = jnp.broadcast_to(
+                jnp.arange(PREFILL, dtype=jnp.int32)[None], (B, PREFILL))
+            _, _, cache = jax.block_until_ready(jax.jit(
+                lambda p, x, c: decoder.forward(
+                    p, tc, x, pos, c, jnp.int32(0), kv_valid_from=pad)
+            )(pt, x, cache))
+
+            @jax.jit
+            def xla_step(w, fb, slot, cache):
+                h, lg, cache = decoder.forward(
+                    w, tc, fb[:, None], (slot - pad)[:, None], cache,
+                    jnp.broadcast_to(slot, (B,)), kv_valid_from=pad)
+                return h[:, -1], lg[:, -1], cache
+
+            @jax.jit
+            def fused_step(w, fb, slot, cache):
+                slot_b = jnp.broadcast_to(slot, (B,))
+                h, lg, kc, vc = fused_talker.talker_step_fused(
+                    w, tc, fb, slot_b - pad, slot, slot_b, pad,
+                    cache["k"], cache["v"])
+                return h, lg, {"k": kc, "v": vc}
+
+            agree = total = 0
+            dmax = 0.0
+            fb = 0.05 * jax.random.normal(
+                jax.random.key(12), (B, tc.hidden)).astype(dt)
+            for s in range(STEPS):
+                slot = jnp.int32(PREFILL + s)
+                rh, rl, ncache = xla_step(pt, fb, slot, cache)
+                fh, fl, _ = fused_step(pt, fb, slot, cache)
+                agree += int(jnp.sum(jnp.argmax(rl[:, :P.TALKER_SAMPLE_LIMIT],
+                                                -1)
+                                     == jnp.argmax(fl[:, :P.TALKER_SAMPLE_LIMIT],
+                                                   -1)))
+                total += B
+                dmax = max(dmax, float(jnp.abs(rl - fl).max()))
+                cache = ncache                    # teacher forcing: XLA state
+                fb = (0.9 * fb.astype(jnp.float32)
+                      + 0.1 * rh.astype(jnp.float32)).astype(dt)
+            report[f"talker_{kind}_b{B}"] = {
+                "argmax_agree": f"{agree}/{total}",
+                "agree_frac": agree / total,
+                "max_dlogits": round(dmax, 4),
+            }
+
+        # ---- predictor: frame-codes agreement over STEPS frames ----
+        if fused_predictor.usable(pc, 1, pp):
+            agree = total = 0
+            for s in range(STEPS):
+                ks = jax.random.split(jax.random.key(100 + s), 2)
+                h1024 = jax.random.normal(ks[0], (1, pc.hidden), jnp.float32)
+                code0 = jax.random.randint(ks[1], (1,), 0, 2048, jnp.int32)
+                ref = predictor.frame_codes(pp, pc, assets, h1024, code0)
+                got = fused_predictor.frame_codes_fused(
+                    pp, pc, ptab, rows, h1024, code0)
+                agree += int(jnp.sum(ref == got))
+                total += ref.size
+            report[f"predictor_{kind}"] = {
+                "codes_agree": f"{agree}/{total}",
+                "agree_frac": agree / total,
+            }
+        else:
+            report[f"predictor_{kind}"] = "not usable"
+
+    print(json.dumps(report), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
