@@ -11,13 +11,16 @@ This tool maps the two llama.cpp GGUF transformers onto our decoder pytree
 (models/decoder.py layout) and writes `talker.npz` / `predictor.npz`; the
 model geometry is read from GGUF metadata the same way llama.cpp does
 (`src/models/llama/mod.rs:337-365` reads n_embd/n_head/n_layer/n_vocab at
-load). ONNX-packaged weights (vocoder, encoders) are converted from a torch
-state_dict via `convert_torch_state_dict` once extracted (this container has
-no onnx parser; any exporter that yields named torch tensors works).
+load). ONNX-packaged weights (vocoder, encoders) are ingested DIRECTLY from
+the `.onnx` files the reference downloads (assets/onnx.py parses the
+protobuf; `convert_vocoder_onnx` validates the graph against the derived
+architecture and maps initializers by name or structurally); torch state
+dicts (`.npz`) remain supported as an alternate source.
 
 Usage:
   python tools/convert_weights.py --talker qwen3_tts_talker.gguf \
-      --predictor qwen3_tts_predictor.gguf --out models/
+      --predictor qwen3_tts_predictor.gguf \
+      --vocoder qwen3_tts_decoder.onnx --out models/
 """
 
 from __future__ import annotations
@@ -32,128 +35,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qwen3_tts_tpu.assets import checkpoint, gguf  # noqa: E402
-from qwen3_tts_tpu.core.config import PredictorConfig, TalkerConfig  # noqa: E402
-
-
-def _meta(f: gguf.GGUFFile, *keys, default=None):
-    for k in keys:
-        for arch in ("qwen3", "llama", "qwen2"):
-            v = f.metadata.get(f"{arch}.{k}")
-            if v is not None:
-                return v
-        if k in f.metadata:
-            return f.metadata[k]
-    return default
-
-
-def config_from_gguf(f: gguf.GGUFFile, kind: str):
-    """Model geometry from GGUF metadata (mirrors llama.cpp's load)."""
-    n_layer = int(_meta(f, "block_count"))
-    hidden = int(_meta(f, "embedding_length"))
-    n_head = int(_meta(f, "attention.head_count"))
-    n_kv = int(_meta(f, "attention.head_count_kv", default=n_head))
-    ffn = int(_meta(f, "feed_forward_length"))
-    head_dim = int(_meta(f, "attention.key_length", default=hidden // n_head))
-    theta = float(_meta(f, "rope.freq_base", default=1_000_000.0))
-    vocab = int(f.tensors["output.weight"].shape[0]) \
-        if "output.weight" in f.tensors else int(_meta(f, "vocab_size"))
-    sections = _meta(f, "rope.dimension_sections")
-    if sections is not None:
-        sections = tuple(int(s) for s in sections)
-        sections = sections + (0,) * (4 - len(sections))
-    common = dict(
-        hidden=hidden, n_layers=n_layer, n_q_heads=n_head, n_kv_heads=n_kv,
-        head_dim=head_dim, ffn_dim=ffn, vocab=vocab, rope_theta=theta,
-    )
-    if kind == "talker":
-        return TalkerConfig(
-            **common,
-            mrope_sections=sections or (24, 20, 20, 0),
-        )
-    return PredictorConfig(
-        **common,
-        mrope_sections=sections or (head_dim // 2, 0, 0, 0),
-    )
-
-
-def convert_llama_gguf(path: str, kind: str
-                       ) -> Tuple[Any, Dict[str, Any]]:
-    """llama.cpp GGUF -> (config, decoder params pytree as numpy arrays).
-
-    GGML stores weights [out, in] (numpy view after dim reversal); our
-    decoder layout is [in, out], hence the transposes.
-    """
-    f = gguf.GGUFFile(path)
-    cfg = config_from_gguf(f, kind)
-    L = cfg.n_layers
-
-    def t(name):
-        return np.ascontiguousarray(f.read_tensor(name).astype(np.float32).T)
-
-    def raw(name):
-        return f.read_tensor(name).astype(np.float32)
-
-    layers: Dict[str, list] = {k: [] for k in (
-        "ln1", "wqkv", "q_norm", "k_norm", "wo", "ln2", "w_gu", "w_down")}
-    for i in range(L):
-        p = f"blk.{i}."
-        layers["ln1"].append(raw(p + "attn_norm.weight"))
-        # decoder runs fused projections: [in, q|k|v] and [in, gate|up]
-        layers["wqkv"].append(np.concatenate(
-            [t(p + "attn_q.weight"), t(p + "attn_k.weight"),
-             t(p + "attn_v.weight")], axis=1))
-        layers["q_norm"].append(raw(p + "attn_q_norm.weight"))
-        layers["k_norm"].append(raw(p + "attn_k_norm.weight"))
-        layers["wo"].append(t(p + "attn_output.weight"))
-        layers["ln2"].append(raw(p + "ffn_norm.weight"))
-        layers["w_gu"].append(np.concatenate(
-            [t(p + "ffn_gate.weight"), t(p + "ffn_up.weight")], axis=1))
-        layers["w_down"].append(t(p + "ffn_down.weight"))
-
-    params = {
-        "layers": {k: np.stack(v) for k, v in layers.items()},
-        "final_norm": raw("output_norm.weight"),
-        "head": t("output.weight"),
-    }
-    return cfg, params
-
-
-def export_llama_gguf(path: str, cfg, params: Dict[str, Any],
-                      arch: str = "qwen3") -> None:
-    """Inverse mapping (testing + interop): our pytree -> llama.cpp names."""
-    tensors: Dict[str, np.ndarray] = {}
-    lw = params["layers"]
-    nq_hd = cfg.n_q_heads * cfg.head_dim
-    nk_hd = cfg.n_kv_heads * cfg.head_dim
-    for i in range(cfg.n_layers):
-        p = f"blk.{i}."
-        tensors[p + "attn_norm.weight"] = np.asarray(lw["ln1"][i])
-        wqkv = np.asarray(lw["wqkv"][i])
-        tensors[p + "attn_q.weight"] = wqkv[:, :nq_hd].T
-        tensors[p + "attn_k.weight"] = wqkv[:, nq_hd:nq_hd + nk_hd].T
-        tensors[p + "attn_v.weight"] = wqkv[:, nq_hd + nk_hd:].T
-        tensors[p + "attn_q_norm.weight"] = np.asarray(lw["q_norm"][i])
-        tensors[p + "attn_k_norm.weight"] = np.asarray(lw["k_norm"][i])
-        tensors[p + "attn_output.weight"] = np.asarray(lw["wo"][i]).T
-        tensors[p + "ffn_norm.weight"] = np.asarray(lw["ln2"][i])
-        w_gu = np.asarray(lw["w_gu"][i])
-        F = w_gu.shape[1] // 2
-        tensors[p + "ffn_gate.weight"] = w_gu[:, :F].T
-        tensors[p + "ffn_up.weight"] = w_gu[:, F:].T
-        tensors[p + "ffn_down.weight"] = np.asarray(lw["w_down"][i]).T
-    tensors["output_norm.weight"] = np.asarray(params["final_norm"])
-    tensors["output.weight"] = np.asarray(params["head"]).T
-    meta = {
-        f"{arch}.block_count": cfg.n_layers,
-        f"{arch}.embedding_length": cfg.hidden,
-        f"{arch}.attention.head_count": cfg.n_q_heads,
-        f"{arch}.attention.head_count_kv": cfg.n_kv_heads,
-        f"{arch}.attention.key_length": cfg.head_dim,
-        f"{arch}.feed_forward_length": cfg.ffn_dim,
-        f"{arch}.rope.freq_base": cfg.rope_theta,
-        f"{arch}.rope.dimension_sections": list(cfg.mrope_sections),
-    }
-    gguf.write_gguf(path, tensors, meta)
+from qwen3_tts_tpu.assets.llama_gguf import (  # noqa: E402,F401
+    config_from_gguf, convert_llama_gguf, export_llama_gguf)
 
 
 def convert_vocoder_state_dict(sd: Dict[str, np.ndarray],
@@ -288,6 +171,519 @@ def export_vocoder_state_dict(params: Dict[str, Any],
     return sd
 
 
+# --------------------------------------------------------------------- ONNX
+# The reference's codec models ship as ONNX graphs (`src/models/onnx.rs:87-95,
+# 130-138,329-336`; manifest `src/download.rs:55-101`). assets/onnx.py parses
+# the protobuf (no onnxruntime); the functions below (a) VALIDATE the graph's
+# op skeleton against the architecture models/vocoder.py derives from the
+# carried-state signature, so a mismatch is a loud error instead of silent
+# wrongness, and (b) map the initializers onto our pytrees — by name when the
+# export preserved torch parameter names, structurally (consumer-op analysis)
+# when it anonymized them (`onnx::MatMul_123`-style).
+
+class OnnxConversionError(ValueError):
+    pass
+
+
+def _consumers(model) -> Dict[str, list]:
+    """initializer/value name -> [(node, input_index)] consuming it."""
+    out: Dict[str, list] = {}
+    for node in model.nodes:
+        for i, name in enumerate(node.inputs):
+            out.setdefault(name, []).append((node, i))
+    return out
+
+
+def _to_torch_layout(arr: np.ndarray, uses: list) -> np.ndarray:
+    """Orient a weight initializer into torch state-dict layout.
+
+    torch.onnx.export folds `Linear` into `MatMul` with a TRANSPOSED
+    ([in, out]) initializer (or `Gemm` with transB=1 keeping [out, in]);
+    Conv / ConvTranspose / Gather / Mul keep the state-dict layout. The
+    consuming op, not the name, is the ground truth for orientation.
+    """
+    for node, idx in uses:
+        if node.op_type == "MatMul" and idx == 1 and arr.ndim == 2:
+            return np.ascontiguousarray(arr.T)
+        if node.op_type == "Gemm" and idx == 1 and arr.ndim == 2:
+            return arr if node.attrs.get("transB") else \
+                np.ascontiguousarray(arr.T)
+    return arr
+
+
+def sd_from_onnx(model, expected_keys=None) -> Dict[str, np.ndarray]:
+    """Initializers -> torch-layout state dict, names normalized.
+
+    Strips the most-common shared prefix (exporters often prepend `model.`
+    or the wrapper module name) chosen to maximize matches against
+    `expected_keys` when given.
+    """
+    uses = _consumers(model)
+    sd = {n: _to_torch_layout(np.asarray(a), uses.get(n, ()))
+          for n, a in model.initializers.items()}
+    if not expected_keys:
+        return sd
+    expected = set(expected_keys)
+    best, best_hits = "", len(expected & set(sd))
+    prefixes = {n[: len(n) - len(k)]
+                for n in sd for k in expected if n.endswith(k)}
+    for p in prefixes:
+        hits = sum(1 for n in sd if n.startswith(p) and n[len(p):] in expected)
+        if hits > best_hits:
+            best, best_hits = p, hits
+    if best:
+        sd = {n[len(best):] if n.startswith(best) else n: a
+              for n, a in sd.items()}
+    return sd
+
+
+def _expected_vocoder_keys(cfg) -> list:
+    return list(export_vocoder_state_dict(_vocoder_key_skeleton(cfg), cfg))
+
+
+def _vocoder_key_skeleton(cfg):
+    """Shape-correct zero pytree, used only to enumerate state-dict keys."""
+    from qwen3_tts_tpu.models import vocoder as voc
+    import jax
+    return jax.tree.map(np.asarray,
+                        voc.init_vocoder(jax.random.key(0), cfg, scale=0.0))
+
+
+def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
+    """Check each derived-architecture assumption (models/vocoder.py:8-29)
+    against the actual graph; returns {assumption: 'verified' | 'mismatch:
+    ...' | 'unverified: ...'}. Callers decide whether mismatches are fatal.
+    """
+    from qwen3_tts_tpu.core.config import VocoderConfig
+
+    cfg = cfg or VocoderConfig()
+    r: Dict[str, str] = {}
+    ins = {n: dims for n, _, dims in model.inputs}
+    outs = {n for n, _, _ in model.outputs}
+
+    def check(name, cond, detail):
+        r[name] = "verified" if cond else f"mismatch: {detail}"
+
+    # --- I/O contract (src/models/onnx.rs:342-458) ---
+    need_in = {"audio_codes", "is_last", "pre_conv_history", "latent_buffer",
+               "conv_history"} | {f"past_key_{i}" for i in range(cfg.n_layers)} \
+        | {f"past_value_{i}" for i in range(cfg.n_layers)}
+    missing = sorted(need_in - set(ins))
+    check("io.inputs", not missing, f"missing graph inputs {missing}")
+    need_out = {"final_wav", "valid_samples", "next_pre_conv_history",
+                "next_latent_buffer", "next_conv_history"} \
+        | {f"next_key_{i}" for i in range(cfg.n_layers)} \
+        | {f"next_value_{i}" for i in range(cfg.n_layers)}
+    missing = sorted(need_out - outs)
+    check("io.outputs", not missing, f"missing graph outputs {missing}")
+    n_kv = sum(1 for n in ins if n.startswith("past_key_"))
+    check("transformer.n_layers", n_kv == cfg.n_layers,
+          f"{n_kv} past_key_* inputs, derived {cfg.n_layers}")
+
+    def dim(name, i):
+        d = ins.get(name)
+        return d[i] if d and i < len(d) else None
+
+    check("pre_conv.embed_dim", dim("pre_conv_history", 1)
+          in (None, cfg.embed_dim),
+          f"pre_conv_history ch {dim('pre_conv_history', 1)}, "
+          f"derived {cfg.embed_dim}")
+    check("transformer.n_heads", dim("past_key_0", 1) in (None, cfg.n_heads),
+          f"past_key_0 heads {dim('past_key_0', 1)}, derived {cfg.n_heads}")
+    check("transformer.head_dim", dim("past_key_0", 3)
+          in (None, cfg.head_dim),
+          f"past_key_0 hd {dim('past_key_0', 3)}, derived {cfg.head_dim}")
+    check("post_conv.hidden", dim("conv_history", 1) in (None, cfg.hidden),
+          f"conv_history ch {dim('conv_history', 1)}, derived {cfg.hidden}")
+
+    # --- op skeleton ---
+    init = model.initializers
+    convs = [n for n in model.nodes if n.op_type == "Conv"]
+    tconvs = [n for n in model.nodes if n.op_type == "ConvTranspose"]
+
+    def kernel(node):
+        ks = node.attrs.get("kernel_shape")
+        if ks:
+            return int(ks[0])
+        w = init.get(node.inputs[1]) if len(node.inputs) > 1 else None
+        return int(w.shape[-1]) if w is not None else None
+
+    kks = sorted(kernel(c) for c in convs if kernel(c) is not None)
+    want = sorted([cfg.pre_conv_kernel, 2 * cfg.lookahead + 1,
+                   cfg.post_conv_kernel])
+    check("conv.kernels", len(convs) == 3 and kks == want,
+          f"{len(convs)} Conv nodes with kernels {kks}, derived {want} "
+          f"(pre K={cfg.pre_conv_kernel}, centered K=2*{cfg.lookahead}+1, "
+          f"post K={cfg.post_conv_kernel})")
+
+    strides = [tuple(n.attrs.get("strides", ())) for n in tconvs]
+    check("upsample.factors",
+          [s[0] if s else None for s in strides]
+          == list(cfg.upsample_factors),
+          f"ConvTranspose strides {strides}, derived "
+          f"{cfg.upsample_factors}")
+    kst = [(kernel(n), n.attrs.get("strides", [None])[0]) for n in tconvs]
+    check("upsample.kernel_eq_stride", all(k == s for k, s in kst),
+          f"kernel/stride pairs {kst} (frame-local matmul form needs k==s)")
+
+    gathers = [n for n in model.nodes if n.op_type == "Gather"
+               and n.inputs and n.inputs[0] in init]
+    n_books = sum(init[n.inputs[0]].shape[0] if init[n.inputs[0]].ndim == 3
+                  else 1 for n in gathers)
+    check("rvq.num_codebooks", n_books == cfg.num_codebooks,
+          f"{n_books} codebook Gather tables, derived {cfg.num_codebooks}")
+
+    ops = model.ops()
+    acts = {k: v for k, v in ops.items()
+            if k in ("Sigmoid", "Gelu", "Erf", "Tanh", "Relu", "LeakyRelu",
+                     "Elu", "Snake")}
+    if set(acts) <= {"Sigmoid"} and acts:
+        r["mlp.activation"] = "verified"
+    else:
+        r["mlp.activation"] = (f"mismatch: graph activations {acts}, derived "
+                               "SiLU (Sigmoid*x)")
+
+    mm = [n for n in model.nodes if n.op_type in ("MatMul", "Gemm")
+          and len(n.inputs) > 1 and n.inputs[1] in init
+          and init[n.inputs[1]].ndim == 2]
+    check("transformer.linears", len(mm) == 7 * cfg.n_layers,
+          f"{len(mm)} weighted MatMul/Gemm, derived 7*{cfg.n_layers} "
+          "(q,k,v,o,gate,up,down per layer)")
+    return r
+
+
+def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
+    """Anonymous-initializer fallback: recover the torch-name state dict by
+    walking the graph in topological order and classifying each weighted op
+    (Gather -> codebooks, Conv -> pre/post by channel+kernel, MatMul/Gemm
+    grouped 7-per-layer, vector Mul -> rms norms, ConvTranspose -> upsample
+    stages). Shape checks make any deviation from the derived architecture a
+    hard error, not a misassignment."""
+    init = model.initializers
+    uses = _consumers(model)
+
+    def w(node, idx=1):
+        return _to_torch_layout(np.asarray(init[node.inputs[idx]]),
+                                uses.get(node.inputs[idx], ()))
+
+    sd: Dict[str, np.ndarray] = {}
+    books, mats, muls64, muls_h, tconv_i = [], [], [], [], 0
+    for node in model.nodes:
+        op = node.op_type
+        if op == "Gather" and node.inputs and node.inputs[0] in init:
+            t = np.asarray(init[node.inputs[0]], np.float32)
+            books.extend(t if t.ndim == 3 else [t])
+        elif op == "Conv":
+            cw = np.asarray(init[node.inputs[1]], np.float32)
+            cb = (np.asarray(init[node.inputs[2]], np.float32)
+                  if len(node.inputs) > 2 and node.inputs[2] in init
+                  else np.zeros(cw.shape[0], np.float32))
+            if cw.shape[1] == cfg.embed_dim:
+                key, want_k = "decoder.pre_conv", cfg.pre_conv_kernel
+            elif "decoder.post_conv1.weight" not in sd:
+                key, want_k = "decoder.post_conv1", 2 * cfg.lookahead + 1
+            else:
+                key, want_k = "decoder.post_conv2", cfg.post_conv_kernel
+            if cw.shape[-1] != want_k:
+                raise OnnxConversionError(
+                    f"{key}: Conv weight {cw.shape} has kernel "
+                    f"{cw.shape[-1]}, derived {want_k}")
+            sd[key + ".weight"], sd[key + ".bias"] = cw, cb
+        elif op == "ConvTranspose":
+            key = f"decoder.upsample.{tconv_i}"
+            cw = np.asarray(init[node.inputs[1]], np.float32)
+            sd[key + ".weight"] = cw
+            sd[key + ".bias"] = (
+                np.asarray(init[node.inputs[2]], np.float32)
+                if len(node.inputs) > 2 and node.inputs[2] in init
+                else np.zeros(cw.shape[1], np.float32))
+            tconv_i += 1
+        elif op in ("MatMul", "Gemm") and len(node.inputs) > 1 \
+                and node.inputs[1] in init and init[node.inputs[1]].ndim == 2:
+            mats.append(w(node))
+        elif op == "Mul":
+            for name in node.inputs:
+                if name in init and init[name].ndim == 1:
+                    v = np.asarray(init[name], np.float32)
+                    if v.size == cfg.head_dim:
+                        muls64.append(v)
+                    elif v.size == cfg.hidden:
+                        muls_h.append(v)
+
+    L = cfg.n_layers
+    checks = [
+        (len(books) == cfg.num_codebooks,
+         f"{len(books)} codebooks != {cfg.num_codebooks}"),
+        (len(mats) == 7 * L, f"{len(mats)} linears != 7*{L}"),
+        (len(muls64) == 2 * L,
+         f"{len(muls64)} head-dim norm vectors != 2*{L} (q_norm,k_norm)"),
+        (len(muls_h) == 2 * L + 1,
+         f"{len(muls_h)} hidden norm vectors != 2*{L}+1 (ln1,ln2,final)"),
+        (tconv_i == len(cfg.upsample_factors),
+         f"{tconv_i} ConvTranspose != {len(cfg.upsample_factors)}"),
+    ]
+    bad = [msg for ok, msg in checks if not ok]
+    if bad:
+        raise OnnxConversionError(
+            "structural mapping failed: " + "; ".join(bad))
+
+    for q, t in enumerate(books):
+        sd[f"quantizer.codebooks.{q}.weight"] = np.asarray(t, np.float32)
+    names = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+             "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj",
+             "mlp.down_proj")
+    shapes = [(cfg.hidden, cfg.n_heads * cfg.head_dim)] * 3 + [
+        (cfg.n_heads * cfg.head_dim, cfg.hidden),
+        (cfg.hidden, cfg.ffn_dim), (cfg.hidden, cfg.ffn_dim),
+        (cfg.ffn_dim, cfg.hidden)]
+    for li in range(L):
+        for j, (nm, (din, dout)) in enumerate(zip(names, shapes)):
+            m = mats[7 * li + j]
+            if m.shape != (dout, din):     # torch layout [out, in]
+                raise OnnxConversionError(
+                    f"layer {li} {nm}: weight {m.shape} != {(dout, din)} — "
+                    "linear order differs from q,k,v,o,gate,up,down")
+            sd[f"decoder.layers.{li}.{nm}.weight"] = m
+        sd[f"decoder.layers.{li}.self_attn.q_norm.weight"] = muls64[2 * li]
+        sd[f"decoder.layers.{li}.self_attn.k_norm.weight"] = \
+            muls64[2 * li + 1]
+        sd[f"decoder.layers.{li}.input_layernorm.weight"] = muls_h[2 * li]
+        sd[f"decoder.layers.{li}.post_attention_layernorm.weight"] = \
+            muls_h[2 * li + 1]
+    sd["decoder.norm.weight"] = muls_h[2 * L]
+    return sd
+
+
+def convert_vocoder_onnx(path: str, cfg=None, force: bool = False
+                         ) -> Dict[str, Any]:
+    """`qwen3_tts_decoder.onnx` -> models/vocoder.py pytree.
+
+    Validates the graph against the derived architecture first (every
+    mismatch is reported; fatal unless `force`), then maps initializers by
+    preserved torch names when possible, structurally otherwise.
+    """
+    from qwen3_tts_tpu.assets import onnx as onnx_mod
+    from qwen3_tts_tpu.core.config import VocoderConfig
+
+    cfg = cfg or VocoderConfig()
+    model = onnx_mod.read_model(path)
+    report = validate_vocoder_onnx(model, cfg)
+    bad = {k: v for k, v in report.items() if v != "verified"}
+    for k, v in sorted(report.items()):
+        print(f"  [{'ok' if v == 'verified' else '!!'}] {k}: {v}",
+              file=sys.stderr)
+    if bad and not force:
+        raise OnnxConversionError(
+            f"{path}: graph contradicts the derived architecture "
+            f"({sorted(bad)}); re-run with --force to convert anyway")
+
+    expected = _expected_vocoder_keys(cfg)
+    sd = sd_from_onnx(model, expected)
+    if not all(k in sd for k in expected):
+        sd = _structural_vocoder_sd(model, cfg)
+    return convert_vocoder_state_dict(sd, cfg)
+
+
+def convert_encoder_onnx(path: str, kind: str, cfg=None) -> Dict[str, Any]:
+    """Codec/speaker encoder ONNX -> pytree (name-preserving exports; an
+    anonymized encoder graph is flagged with the full initializer list)."""
+    from qwen3_tts_tpu.assets import onnx as onnx_mod
+    from qwen3_tts_tpu.core.config import (AudioEncoderConfig,
+                                           SpeakerEncoderConfig)
+    from qwen3_tts_tpu.models import encoders as enc
+
+    cfg = cfg or (AudioEncoderConfig() if kind == "audio"
+                  else SpeakerEncoderConfig())
+    model = onnx_mod.read_model(path)
+    ins = [n for n, _, _ in model.inputs]
+    outs = [n for n, _, _ in model.outputs]
+    want_in, want_out = (("input_values", "audio_codes")
+                         if kind == "audio" else ("mels", "spk_emb"))
+    if want_in not in ins or want_out not in outs:
+        raise OnnxConversionError(
+            f"{path}: expected I/O {want_in!r}->{want_out!r} "
+            f"(src/models/onnx.rs:97-163), graph has {ins}->{outs}")
+    conv = (enc.convert_audio_encoder_state_dict if kind == "audio"
+            else enc.convert_speaker_encoder_state_dict)
+    exp = (enc.export_audio_encoder_state_dict if kind == "audio"
+           else enc.export_speaker_encoder_state_dict)
+    import jax
+    init = (enc.init_audio_encoder if kind == "audio"
+            else enc.init_speaker_encoder)
+    expected = list(exp(jax.tree.map(np.asarray,
+                                     init(jax.random.key(0), cfg))))
+    sd = sd_from_onnx(model, expected)
+    missing = [k for k in expected if k not in sd]
+    if missing:
+        raise OnnxConversionError(
+            f"{path}: initializers are anonymized or renamed; cannot map "
+            f"{len(missing)} tensors (first: {missing[:4]}). Graph "
+            f"initializers: {sorted(model.initializers)[:12]}...")
+    return conv(sd, cfg)
+
+
+def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
+                       anonymize: bool = False) -> None:
+    """Write a vocoder pytree as an ONNX graph in the torch-export idiom
+    (same node skeleton / initializer layout / IO contract as the reference's
+    `qwen3_tts_decoder.onnx`, src/models/onnx.rs:342-496). Fixture generator
+    for round-trip tests of both converter paths: named (torch parameter
+    names preserved) and `anonymize=True` (`onnx::MatMul_N`-style names,
+    MatMul weights stored transposed — exercising the structural mapper)."""
+    from qwen3_tts_tpu.assets import onnx as onnx_mod
+    from qwen3_tts_tpu.core.config import VocoderConfig
+
+    cfg = cfg or VocoderConfig()
+    sd = export_vocoder_state_dict(params, cfg)
+    L, H = cfg.n_layers, cfg.hidden
+
+    init: Dict[str, np.ndarray] = {}
+    nodes: list = []
+    counter = [0]
+
+    def iname(torch_name):
+        if not anonymize:
+            return torch_name
+        counter[0] += 1
+        return f"onnx::W_{counter[0]}"
+
+    def vname():
+        counter[0] += 1
+        return f"v_{counter[0]}"
+
+    def matmul(x, torch_key):
+        w = sd[torch_key]                       # torch layout [out, in]
+        n = iname(torch_key)
+        init[n] = np.ascontiguousarray(np.asarray(w, np.float32).T)
+        out = vname()
+        nodes.append(onnx_mod.OnnxNode("MatMul", [x, n], [out]))
+        return out
+
+    def vec_mul(x, torch_key):
+        n = iname(torch_key)
+        init[n] = np.asarray(sd[torch_key], np.float32)
+        out = vname()
+        nodes.append(onnx_mod.OnnxNode("Mul", [x, n], [out]))
+        return out
+
+    def conv(x, torch_key, op="Conv", strides=None):
+        w = np.asarray(sd[torch_key + ".weight"], np.float32)
+        wn, bn = iname(torch_key + ".weight"), iname(torch_key + ".bias")
+        init[wn] = w
+        init[bn] = np.asarray(sd[torch_key + ".bias"], np.float32)
+        out = vname()
+        attrs = {"kernel_shape": [int(w.shape[-1])]}
+        if strides:
+            attrs["strides"] = [int(strides)]
+        nodes.append(onnx_mod.OnnxNode(op, [x, wn, bn], [out], attrs=attrs))
+        return out
+
+    # RVQ codebook sum
+    parts = []
+    for q in range(cfg.num_codebooks):
+        n = iname(f"quantizer.codebooks.{q}.weight")
+        init[n] = np.asarray(sd[f"quantizer.codebooks.{q}.weight"],
+                             np.float32)
+        out = vname()
+        nodes.append(onnx_mod.OnnxNode("Gather", [n, "audio_codes"], [out]))
+        parts.append(out)
+    x = parts[0]
+    for p in parts[1:]:
+        s = vname()
+        nodes.append(onnx_mod.OnnxNode("Add", [x, p], [s]))
+        x = s
+
+    cat = vname()
+    nodes.append(onnx_mod.OnnxNode(
+        "Concat", ["pre_conv_history", x], [cat], attrs={"axis": 2}))
+    nodes.append(onnx_mod.OnnxNode(
+        "Slice", [cat], ["next_pre_conv_history"]))
+    x = conv(cat, "decoder.pre_conv")
+
+    for li in range(L):
+        p = f"decoder.layers.{li}."
+        h = vec_mul(x, p + "input_layernorm.weight")
+        q = vec_mul(matmul(h, p + "self_attn.q_proj.weight"),
+                    p + "self_attn.q_norm.weight")
+        k = vec_mul(matmul(h, p + "self_attn.k_proj.weight"),
+                    p + "self_attn.k_norm.weight")
+        v = matmul(h, p + "self_attn.v_proj.weight")
+        kc, vc2 = vname(), vname()
+        nodes.append(onnx_mod.OnnxNode(
+            "Concat", [f"past_key_{li}", k], [kc if li else f"next_key_{li}"],
+            attrs={"axis": 2}))
+        nodes.append(onnx_mod.OnnxNode(
+            "Concat", [f"past_value_{li}", v],
+            [vc2 if li else f"next_value_{li}"], attrs={"axis": 2}))
+        if li:      # keep every next_* name emitted exactly once
+            nodes.append(onnx_mod.OnnxNode(
+                "Identity", [kc], [f"next_key_{li}"]))
+            nodes.append(onnx_mod.OnnxNode(
+                "Identity", [vc2], [f"next_value_{li}"]))
+        sc, sm, av = vname(), vname(), vname()
+        nodes.append(onnx_mod.OnnxNode(
+            "MatMul", [q, f"next_key_{li}"], [sc]))
+        nodes.append(onnx_mod.OnnxNode("Softmax", [sc], [sm]))
+        nodes.append(onnx_mod.OnnxNode(
+            "MatMul", [sm, f"next_value_{li}"], [av]))
+        o = matmul(av, p + "self_attn.o_proj.weight")
+        r1 = vname()
+        nodes.append(onnx_mod.OnnxNode("Add", [x, o], [r1]))
+        h2 = vec_mul(r1, p + "post_attention_layernorm.weight")
+        g = matmul(h2, p + "mlp.gate_proj.weight")
+        sg, gated = vname(), vname()
+        nodes.append(onnx_mod.OnnxNode("Sigmoid", [g], [sg]))
+        nodes.append(onnx_mod.OnnxNode("Mul", [g, sg], [gated]))
+        u = matmul(h2, p + "mlp.up_proj.weight")
+        gu = vname()
+        nodes.append(onnx_mod.OnnxNode("Mul", [gated, u], [gu]))
+        d = matmul(gu, p + "mlp.down_proj.weight")
+        r2 = vname()
+        nodes.append(onnx_mod.OnnxNode("Add", [r1, d], [r2]))
+        x = r2
+
+    x = vec_mul(x, "decoder.norm.weight")
+    nodes.append(onnx_mod.OnnxNode(
+        "Identity", [x], ["next_latent_buffer"]))
+    cat2 = vname()
+    nodes.append(onnx_mod.OnnxNode(
+        "Concat", ["latent_buffer", x], [cat2], attrs={"axis": 2}))
+    x = conv(cat2, "decoder.post_conv1")
+    cat3 = vname()
+    nodes.append(onnx_mod.OnnxNode(
+        "Concat", ["conv_history", x], [cat3], attrs={"axis": 2}))
+    x = conv(cat3, "decoder.post_conv2")
+    nodes.append(onnx_mod.OnnxNode(
+        "Identity", [x], ["next_conv_history"]))
+    for i, s in enumerate(cfg.upsample_factors):
+        x = conv(x, f"decoder.upsample.{i}", op="ConvTranspose", strides=s)
+    nodes.append(onnx_mod.OnnxNode("Identity", [x], ["final_wav"]))
+    nodes.append(onnx_mod.OnnxNode(
+        "Shape", [x], ["valid_samples"]))
+
+    F = onnx_mod.FLOAT
+    inputs = [("audio_codes", onnx_mod.INT64, (1, None, cfg.num_codebooks)),
+              ("is_last", F, (1,)),
+              ("pre_conv_history", F, (1, cfg.embed_dim, None)),
+              ("latent_buffer", F, (1, H, None)),
+              ("conv_history", F, (1, H, None))]
+    outputs = [("final_wav", F, (1, None)),
+               ("valid_samples", onnx_mod.INT64, (1,)),
+               ("next_pre_conv_history", F, (1, cfg.embed_dim, None)),
+               ("next_latent_buffer", F, (1, H, None)),
+               ("next_conv_history", F, (1, H, None))]
+    for i in range(L):
+        inputs += [(f"past_key_{i}", F, (1, cfg.n_heads, None, cfg.head_dim)),
+                   (f"past_value_{i}", F,
+                    (1, cfg.n_heads, None, cfg.head_dim))]
+        outputs += [(f"next_key_{i}", F,
+                     (1, cfg.n_heads, None, cfg.head_dim)),
+                    (f"next_value_{i}", F,
+                     (1, cfg.n_heads, None, cfg.head_dim))]
+    onnx_mod.write_model(path, init, nodes, inputs, outputs,
+                         graph_name="qwen3_tts_decoder")
+
+
 def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
                              name_map: Dict[str, str]) -> Dict[str, Any]:
     """Generic torch-export hook: flat {torch_name: tensor} + {torch_name:
@@ -307,12 +703,15 @@ def main(argv=None) -> int:
     ap.add_argument("--talker")
     ap.add_argument("--predictor")
     ap.add_argument("--vocoder",
-                    help=".npz of the codec-decoder torch state dict "
-                         "(np.savez of {name: tensor})")
+                    help="qwen3_tts_decoder.onnx, or .npz of the "
+                         "codec-decoder torch state dict")
     ap.add_argument("--audio-encoder",
-                    help=".npz of the codec-encoder torch state dict")
+                    help="qwen3_tts_codec_encoder.onnx or .npz state dict")
     ap.add_argument("--speaker-encoder",
-                    help=".npz of the speaker-encoder torch state dict")
+                    help="qwen3_tts_speaker_encoder.onnx or .npz state dict")
+    ap.add_argument("--force", action="store_true",
+                    help="convert even when the ONNX graph contradicts the "
+                         "derived architecture (mismatches are printed)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -338,17 +737,39 @@ def main(argv=None) -> int:
         checkpoint.save_pytree(out_path, params)
         print(f"{out_name[:-4]}: {path} -> {out_path}")
 
+    def _convert_onnx(path, converter, out_name, **kw):
+        params = converter(path, **kw)
+        out_path = os.path.join(args.out, out_name)
+        checkpoint.save_pytree(out_path, params)
+        print(f"{out_name[:-4]}: {path} -> {out_path}")
+
     if args.vocoder:
-        _convert_sd(args.vocoder, convert_vocoder_state_dict, "vocoder.npz")
+        if args.vocoder.endswith(".onnx"):
+            _convert_onnx(args.vocoder, convert_vocoder_onnx, "vocoder.npz",
+                          force=args.force)
+        else:
+            _convert_sd(args.vocoder, convert_vocoder_state_dict,
+                        "vocoder.npz")
     if args.audio_encoder:
         from qwen3_tts_tpu.models import encoders as enc
-        _convert_sd(args.audio_encoder, enc.convert_audio_encoder_state_dict,
-                    "audio_encoder.npz")
+        if args.audio_encoder.endswith(".onnx"):
+            _convert_onnx(args.audio_encoder,
+                          lambda p: convert_encoder_onnx(p, "audio"),
+                          "audio_encoder.npz")
+        else:
+            _convert_sd(args.audio_encoder,
+                        enc.convert_audio_encoder_state_dict,
+                        "audio_encoder.npz")
     if args.speaker_encoder:
         from qwen3_tts_tpu.models import encoders as enc
-        _convert_sd(args.speaker_encoder,
-                    enc.convert_speaker_encoder_state_dict,
-                    "speaker_encoder.npz")
+        if args.speaker_encoder.endswith(".onnx"):
+            _convert_onnx(args.speaker_encoder,
+                          lambda p: convert_encoder_onnx(p, "speaker"),
+                          "speaker_encoder.npz")
+        else:
+            _convert_sd(args.speaker_encoder,
+                        enc.convert_speaker_encoder_state_dict,
+                        "speaker_encoder.npz")
     return 0
 
 
