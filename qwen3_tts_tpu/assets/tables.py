@@ -122,6 +122,11 @@ def load_assets(model_dir: str, dtype=jnp.float32) -> Assets:
             for i in range(protocol.NUM_CODEBOOKS)
             if f"codec_embd.{i}" in f.tensors
         ]
+    elif not os.path.exists(os.path.join(model_dir, "proj_weight.npy")):
+        raise FileNotFoundError(
+            f"no embedding tables in {model_dir!r}: expected "
+            "qwen3_assets.gguf or proj_weight.npy (run "
+            "TtsEngine.download_models or tools/convert_weights.py)")
     else:
         proj_w = np.load(os.path.join(model_dir, "proj_weight.npy"))
         proj_b = np.load(os.path.join(model_dir, "proj_bias.npy"))

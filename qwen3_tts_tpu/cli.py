@@ -24,8 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-dir", default="models",
                    help="directory with assets + checkpoints")
     p.add_argument("--quant", default="none",
-                   help="accepted for API parity (none/q5_k_m/q8_0); "
-                        "quantization is handled at conversion time")
+                   help="weight release to download/load (none/q5_k_m/"
+                        "q8_0): selects the per-quant model subdirectory "
+                        "like the reference manifest (src/download.rs:55-101)")
+    p.add_argument("--no-download", action="store_true",
+                   help="skip the download/verify step (offline)")
     p.add_argument("-t", "--text", required=True, help="text to synthesise")
     p.add_argument("-v", "--voice-file", default=None,
                    help="preset voice file (.json)")
@@ -76,12 +79,30 @@ def main(argv=None) -> int:
     print(f"=== Qwen3-TTS (TPU) ===\nModel Dir: {args.model_dir}\n"
           f"Text:      {args.text}")
 
-    engine = TtsEngine(
-        model_dir=None if args.random_weights else args.model_dir,
-        config=config,
-        random_weights=args.random_weights,
-        speakers_dir=args.speakers_dir,
-    )
+    # download/verify model assets before engine construction, mirroring
+    # the reference flow (src/bin/qwen3_tts.rs:89 -> engine.rs:234)
+    if not args.random_weights and not args.no_download:
+        status = TtsEngine.download_models(args.model_dir, args.quant)
+        fetched = sum(1 for v in status.values() if v == "downloaded")
+        bad = sorted(r for r, v in status.items()
+                     if v in ("missing", "corrupt"))
+        if fetched:
+            print(f"Downloaded {fetched} model file(s)")
+        if bad:
+            print("Missing model files (offline or fetch failed):\n  "
+                  + "\n  ".join(bad), file=sys.stderr)
+
+    try:
+        engine = TtsEngine(
+            model_dir=None if args.random_weights else args.model_dir,
+            config=config,
+            quant=args.quant,
+            random_weights=args.random_weights,
+            speakers_dir=args.speakers_dir,
+        )
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Failed to load models: {e}", file=sys.stderr)
+        return 1
     engine.set_max_steps(args.max_steps)
     engine.set_sampler_config(SamplerConfig(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
@@ -109,7 +130,11 @@ def main(argv=None) -> int:
             print(f"Failed to load voice file: {e}", file=sys.stderr)
             return 1
     else:
-        voice = engine.get_speaker(args.speaker or "vivian")
+        try:
+            voice = engine.get_speaker(args.speaker or "vivian")
+        except RuntimeError as e:
+            print(f"Speaker selection failed: {e}", file=sys.stderr)
+            return 1
     print(f"Voice Name: {voice.name or 'Dynamic'}")
 
     profiler = None

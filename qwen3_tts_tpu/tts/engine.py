@@ -57,12 +57,14 @@ class TtsEngine:
         model_dir: Optional[str] = None,
         config: Optional[EngineConfig] = None,
         *,
+        quant: str = "none",
         random_weights: bool = False,
         seed: int = 0,
         speakers_dir: Optional[str] = None,
     ):
         self.config = config or EngineConfig()
         self.model_dir = model_dir
+        self.quant = quant
         self.max_steps = self.config.max_steps
         self.sampler_config = SamplerConfig()
         self.speakers: Dict[str, VoiceFile] = {}
@@ -87,22 +89,29 @@ class TtsEngine:
             self.vocoder_params = vocoder.init_vocoder(k[3], cfg.vocoder)
             self.tokenizer = load_tokenizer(model_dir or "")
         elif model_dir is not None:
-            assets = tables.load_assets(model_dir)
-            like_t = jax.eval_shape(
-                lambda: decoder.init_decoder(jax.random.key(0), cfg.talker))
-            like_p = jax.eval_shape(
-                lambda: decoder.init_decoder(jax.random.key(0), cfg.predictor))
+            # per-quant subdirectory first (the downloader's layout,
+            # src/download.rs:55-101), flat model_dir second
+            from ..download import quant_dir
+            qdir = os.path.join(model_dir, quant_dir(quant))
+
+            def resolve(name):
+                cand = os.path.join(qdir, name)
+                return cand if os.path.exists(cand) \
+                    else os.path.join(model_dir, name)
+
+            assets = tables.load_assets(
+                qdir if os.path.exists(
+                    os.path.join(qdir, "qwen3_assets.gguf")) else model_dir)
             like_v = jax.eval_shape(
                 lambda: vocoder.init_vocoder(jax.random.key(0), cfg.vocoder))
             self.models = {
-                "talker": checkpoint.load_pytree(
-                    os.path.join(model_dir, "talker.npz"), like_t),
-                "predictor": checkpoint.load_pytree(
-                    os.path.join(model_dir, "predictor.npz"), like_p),
+                "talker": self._load_decoder(resolve, "talker", cfg.talker),
+                "predictor": self._load_decoder(resolve, "predictor",
+                                                cfg.predictor),
                 "assets": assets,
             }
             self.vocoder_params = checkpoint.load_pytree(
-                os.path.join(model_dir, "vocoder.npz"), like_v)
+                resolve("vocoder.npz"), like_v)
             self.tokenizer = load_tokenizer(model_dir)
             self._load_optional_encoders(model_dir)
         else:
@@ -130,6 +139,44 @@ class TtsEngine:
         self._stream_fns = {}
 
     # ------------------------------------------------------------------ setup
+    @staticmethod
+    def download_models(model_dir: str = "models", quant: str = "none",
+                        offline: Optional[bool] = None) -> Dict[str, str]:
+        """Fetch (or verify) the model manifest for `quant` into `model_dir`
+        — parity with the reference's `TtsEngine::download_models`
+        (src/tts/engine.rs:234, delegating to src/download.rs:41). Returns
+        {relative path: exists|downloaded|missing|corrupt}; offline
+        environments report instead of fetching."""
+        from ..download import Downloader
+        return Downloader(offline=offline).check_and_download(
+            model_dir, quant)
+
+    def _load_decoder(self, resolve, kind: str, cfg):
+        """Converted .npz checkpoint first; the reference's own
+        `qwen3_tts_{kind}.gguf` (llama.cpp layout) as the direct fallback,
+        exactly what the downloader fetches (no conversion step needed)."""
+        npz = resolve(f"{kind}.npz")
+        if os.path.exists(npz):
+            like = jax.eval_shape(
+                lambda: decoder.init_decoder(jax.random.key(0), cfg))
+            return checkpoint.load_pytree(npz, like)
+        gpath = resolve(f"qwen3_tts_{kind}.gguf")
+        if os.path.exists(gpath):
+            from ..assets.llama_gguf import convert_llama_gguf
+            gcfg, params = convert_llama_gguf(gpath, kind)
+            for field in ("hidden", "n_layers", "n_q_heads", "n_kv_heads",
+                          "head_dim", "ffn_dim"):
+                got, want = getattr(gcfg, field), getattr(cfg, field)
+                if got != want:
+                    raise ValueError(
+                        f"{gpath}: GGUF {field}={got} but the engine config "
+                        f"says {want}")
+            dt = jnp.dtype(cfg.dtype)
+            return jax.tree.map(lambda a: jnp.asarray(a, dt), params)
+        raise FileNotFoundError(
+            f"no {kind} weights: tried {npz} and {gpath} "
+            f"(run TtsEngine.download_models or tools/convert_weights.py)")
+
     def save_checkpoint(self, out_dir: str) -> None:
         """Persist all model weights as .npz checkpoints loadable by
         TtsEngine(model_dir=...). Assets are written as GGUF (the container
