@@ -47,13 +47,23 @@ def pcm16(samples: np.ndarray) -> bytes:
 
 
 class TtsServer:
-    """Owns the engine, the serving batch, and the scheduler thread."""
+    """Owns the engine, the serving batch, and the scheduler thread.
 
-    def __init__(self, engine, max_streams: int = 4):
+    Synchronization is event-driven (no spin/poll loops): the scheduler
+    notifies one Condition after every device tick, and submitters /
+    waiters / chunk streamers block on it with predicates. Admission is a
+    bounded queue — when the device batch is full, submitters wait on the
+    Condition up to `admit_timeout` and then fail (the HTTP layer turns
+    that into 503), so backlog cannot grow without bound.
+    """
+
+    def __init__(self, engine, max_streams: int = 4,
+                 admit_timeout: float = 30.0):
         self.engine = engine
         self.serving = ServingEngine(engine, max_streams=max_streams)
+        self.admit_timeout = admit_timeout
         self._lock = threading.Lock()      # device access is single-threaded
-        self._wake = threading.Event()
+        self._cond = threading.Condition()  # progress: tick / submit / done
         self._stop = False
         self._thread = threading.Thread(target=self._scheduler, daemon=True)
         self._thread.start()
@@ -62,32 +72,56 @@ class TtsServer:
         while not self._stop:
             with self._lock:
                 active = self.serving.step()
-            if active == 0:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+            with self._cond:
+                self._cond.notify_all()    # streams advanced / completed
+                if active == 0 and not self._stop:
+                    # idle: sleep until a submit (or shutdown) notifies;
+                    # the timeout is only a liveness backstop
+                    self._cond.wait(timeout=1.0)
 
     def submit(self, text, voice, instruct=None, on_chunk=None):
+        deadline = time.monotonic() + self.admit_timeout
         while True:
             with self._lock:
                 sid = self.serving.submit(text, voice, instruct=instruct,
                                           on_chunk=on_chunk)
             if sid is not None:
-                self._wake.set()
+                with self._cond:
+                    self._cond.notify_all()     # wake an idle scheduler
                 return sid
-            time.sleep(0.02)               # batch full: wait for a slot
+            with self._cond:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError(
+                        f"no free stream slot within {self.admit_timeout}s")
+                self._cond.wait(timeout=min(remaining, 1.0))
 
     def wait(self, sid, timeout: float = 300.0):
-        t0 = time.time()
-        while time.time() - t0 < timeout:
-            s = self.serving.streams.get(sid)
-            if s is not None and s.done:
-                return s
-            time.sleep(0.01)
-        raise TimeoutError(f"stream {sid} did not finish")
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while True:
+                s = self.serving.streams.get(sid)
+                if s is not None and s.done:
+                    return s
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError(f"stream {sid} did not finish")
+                self._cond.wait(timeout=min(remaining, 5.0))
+
+    def wait_progress(self, timeout: float = 5.0) -> None:
+        """Block until the next scheduler tick (chunk streamers use this
+        between queue drains instead of polling)."""
+        with self._cond:
+            self._cond.wait(timeout=timeout)
+
+    def is_done(self, sid) -> bool:
+        s = self.serving.streams.get(sid)
+        return s is not None and s.done
 
     def shutdown(self) -> None:
         self._stop = True
-        self._wake.set()
+        with self._cond:
+            self._cond.notify_all()
         self._thread.join(timeout=5)
 
 
@@ -137,8 +171,12 @@ def make_handler(server: TtsServer):
 
             if req.get("stream"):
                 chunk_q: "queue.Queue" = queue.Queue()
-                sid = server.submit(text, voice, instruct=instruct,
-                                    on_chunk=chunk_q.put)
+                try:
+                    sid = server.submit(text, voice, instruct=instruct,
+                                        on_chunk=chunk_q.put)
+                except TimeoutError as e:
+                    self._json(503, {"error": str(e)})
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -152,21 +190,24 @@ def make_handler(server: TtsServer):
                 # RIFF sizes on streamed WAV)
                 max_samples = server.engine.max_steps * P.FRAME_SAMPLES
                 send(wav_header(max_samples))
-                done = False
-                while not done:
-                    try:
-                        piece = chunk_q.get(timeout=0.05)
-                        send(pcm16(piece))
-                    except queue.Empty:
-                        s = server.serving.streams.get(sid)
-                        done = s is not None and s.done
-                while not chunk_q.empty():
-                    send(pcm16(chunk_q.get()))
+                deadline = time.monotonic() + 300.0
+                while True:
+                    while not chunk_q.empty():     # drain what's vocoded
+                        send(pcm16(chunk_q.get()))
+                    if server.is_done(sid) and chunk_q.empty():
+                        break
+                    if time.monotonic() > deadline:
+                        break                      # truncated stream
+                    server.wait_progress(timeout=5.0)   # next device tick
                 self.wfile.write(b"0\r\n\r\n")
                 return
 
-            sid = server.submit(text, voice, instruct=instruct)
-            s = server.wait(sid)
+            try:
+                sid = server.submit(text, voice, instruct=instruct)
+                s = server.wait(sid)
+            except TimeoutError as e:
+                self._json(503, {"error": str(e)})
+                return
             if s.error:
                 self._json(500, {"error": s.error})
                 return

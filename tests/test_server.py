@@ -95,3 +95,28 @@ def test_bad_request(served):
     assert status == 400
     status, _, _ = _req(served, "GET", "/nope")
     assert status == 404
+
+
+def test_admission_timeout_no_spin(tmp_path):
+    """A full batch rejects new submissions after admit_timeout (bounded
+    admission, VERDICT r2 #9) instead of spinning forever."""
+    sdir = tmp_path / "spk"
+    sdir.mkdir()
+    (sdir / "vivian.json").write_text(json.dumps(
+        {"name": "vivian", "spk_emb": np.zeros(64).tolist()}))
+    engine = TtsEngine(config=CFG, random_weights=True, seed=2,
+                       speakers_dir=str(sdir))
+    engine.set_sampler_config(SamplerConfig(temperature=0.0, top_k=0,
+                                            top_p=1.0, seed=1))
+    srv = server_mod.TtsServer(engine, max_streams=1, admit_timeout=0.2)
+    # stop the scheduler so the single slot never drains
+    srv._stop = True
+    with srv._cond:
+        srv._cond.notify_all()
+    srv._thread.join(timeout=10)
+    voice = engine.get_speaker("vivian")
+    assert srv.serving.submit("occupies the slot", voice) is not None
+    t0 = __import__("time").monotonic()
+    with pytest.raises(TimeoutError):
+        srv.submit("rejected", voice)
+    assert __import__("time").monotonic() - t0 < 5.0

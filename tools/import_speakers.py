@@ -3,9 +3,11 @@
 
 The reference ships nine preset voices as `speakers/*.json` (vivian, serena,
 uncle_fu, ryan, aiden, ono_anna, sohee, eric, dylan — speakers/index.json).
-Those files are model-derived data, consumed unchanged by our VoiceFile
-loader; this tool copies and validates them from a user-provided reference
-checkout (we do not vendor the data).
+Those files are model-derived data (not code), consumed unchanged by our
+VoiceFile loader; the repo vendors them byte-identical under `speakers/`
+because preset synthesis requires them and the VoiceFile format must stay
+JSON-compatible with them. This tool re-imports/validates them from a
+reference checkout when the upstream presets change.
 
 Usage:
   python tools/import_speakers.py --from /path/to/Qwen3-TTS-Rust/speakers \
