@@ -43,6 +43,11 @@ class TalkerConfig:
     dtype: str = "bfloat16"
     # layer-scan unroll factor (measured slower >1 on v5e; kept as a knob)
     scan_unroll: int = 1
+    # TP head interleave: wqkv columns permuted into this many device
+    # blocks [q_d | k_d | v_d] so GSPMD's contiguous column shards align
+    # with the q/k/v head split (parallel/sharding.interleave_wqkv). 1 =
+    # flat reference layout. Set by parallel/run from the mesh.
+    tp_interleave: int = 1
 
     def __post_init__(self):
         assert sum(self.mrope_sections) == self.head_dim // 2, (
@@ -75,6 +80,11 @@ class PredictorConfig:
     dtype: str = "bfloat16"
     # layer-scan unroll factor (measured slower >1 on v5e; kept as a knob)
     scan_unroll: int = 1
+    # TP head interleave: wqkv columns permuted into this many device
+    # blocks [q_d | k_d | v_d] so GSPMD's contiguous column shards align
+    # with the q/k/v head split (parallel/sharding.interleave_wqkv). 1 =
+    # flat reference layout. Set by parallel/run from the mesh.
+    tp_interleave: int = 1
 
     def __post_init__(self):
         assert sum(self.mrope_sections) == self.head_dim // 2

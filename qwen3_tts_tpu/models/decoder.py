@@ -164,9 +164,22 @@ def forward(
         # --- attention block ---
         a_in = rms_norm(h, lw["ln1"], cfg.rms_eps)
         qkv = linear(a_in, lw["wqkv"])
-        q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
-        k = qkv[..., nq * hd: (nq + nk) * hd].reshape(B, S, nk, hd)
-        v = qkv[..., (nq + nk) * hd:].reshape(B, S, nk, hd)
+        ni = getattr(cfg, "tp_interleave", 1)
+        if ni > 1:
+            # TP layout (parallel/sharding.interleave_wqkv): columns come in
+            # `ni` device blocks [q_d | k_d | v_d], so this split is a pure
+            # shard-local reshape — no GSPMD resharding. Each block's heads
+            # are the original contiguous range, so the flattened head order
+            # (and the GQA q->kv grouping) is unchanged.
+            nqm, nkm = nq // ni, nk // ni
+            qkv4 = qkv.reshape(B, S, ni, (nqm + 2 * nkm) * hd)
+            q = qkv4[..., : nqm * hd].reshape(B, S, nq, hd)
+            k = qkv4[..., nqm * hd: (nqm + nkm) * hd].reshape(B, S, nk, hd)
+            v = qkv4[..., (nqm + nkm) * hd:].reshape(B, S, nk, hd)
+        else:
+            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+            k = qkv[..., nq * hd: (nq + nk) * hd].reshape(B, S, nk, hd)
+            v = qkv[..., (nq + nk) * hd:].reshape(B, S, nk, hd)
         q = rms_norm(q, lw["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lw["k_norm"], cfg.rms_eps)
         q = rope.apply_rope(q, cos, sin)

@@ -118,9 +118,9 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
         Dense/int8: w_hbm ref [K, N_total]; panels of `pw` lanes
         double-buffered through `buf` [2, >=K, >=pw]. col_base: traced
         column offset (head). Int4 (m_hbm given): w_hbm [K//2, N_total]
-        packed nibbles + m_hbm [K//GROUP4, N_total] sub-multipliers; the
-        panel dequant reproduces quant.dequant4_dt bit-for-bit (integer
-        nib*m8 rounded once to dt) — same recipe as ops/fused_talker.py.
+        packed biased nibbles + m_hbm [K//GROUP4, N_total] sub-multipliers,
+        evaluated by quant.panel_matmul4 (per-group MXU dots, m8 in f32) —
+        same recipe as ops/fused_talker.py.
         """
         pw = _pw_w(N, wcap)
         n_panels = N // pw
@@ -161,23 +161,14 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
                 mdma(slot, p).wait()
                 w8 = (buf[slot] if exact
                       else buf[slot, pl.ds(0, rows), pl.ds(0, pw)])
-                qu = w8.astype(jnp.int32) & 0xFF
-                lo = qu & 0xF
-                hi = (qu >> 4) & 0xF
-                lo = jnp.where(lo < 8, lo, lo - 16)
-                hi = jnp.where(hi < 8, hi, hi - 16)
-                nib = jnp.concatenate([lo, hi], axis=0)          # [K, pw]
-                m = mbuf[slot, pl.ds(0, ng), pl.ds(0, pw)].astype(jnp.int32)
-                m = jnp.broadcast_to(
-                    m[:, None, :], (ng, G4, pw)).reshape(K, pw)
-                w = (nib * m).astype(dt)
+                acc = quant_mod.panel_matmul4(
+                    x_dt, w8, mbuf[slot, pl.ds(0, ng), pl.ds(0, pw)], dt)
             else:
                 wv = buf[slot] if exact else (
                     buf[slot, pl.ds(0, K), pl.ds(0, pw)])
-                w = wv.astype(dt)
-            acc = jax.lax.dot_general(
-                x_dt, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                acc = jax.lax.dot_general(
+                    x_dt, wv.astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             y_ref[:, pl.ds(p * pw, pw)] = acc
             return ()
 
@@ -501,7 +492,10 @@ def frame_codes_fused(
 
     # int4 packs two rows per byte AND halves row counts, so panels can be
     # twice as wide for the same VMEM budget (matches ops/fused_talker.py)
-    wcap = 2 * PW if int4 else PW
+    # int4 once used 2*PW (packed rows halve staging), but panel_matmul4's
+    # unpacked lo/hi planes put the scoped-VMEM peak 216K over the 16M
+    # limit at 2*PW on v5e — PW keeps the whole step resident with room
+    wcap = PW
     pwh = max(_pw_w(NQKV, wcap), _pw_w(H, wcap), _pw_w(2 * F, wcap),
               _pw_w(CV, wcap))
     pwf = _pw_w(H, wcap)

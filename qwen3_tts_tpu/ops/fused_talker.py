@@ -131,9 +131,10 @@ def _kernel_body(cfg, B, int4, refs):
         """y_ref[:, :N] = f32( x_dt [Bp,K] @ deq(w_hbm)[:, base:base+N] ).
 
         Dense/int8: w_hbm [K, N_total], panels cast to dt in VMEM.
-        Int4 (m_hbm given): w_hbm [K//2, N_total] packed nibbles + m_hbm
-        [K//G4, N_total] sub-multipliers; the panel dequant reproduces
-        quant.dequant4_dt bit-for-bit (integer nib*m8 rounded once to dt).
+        Int4 (m_hbm given): w_hbm [K//2, N_total] packed biased nibbles +
+        m_hbm [K//G4, N_total] sub-multipliers, evaluated by
+        quant.panel_matmul4 (per-group MXU dots, m8 in f32 — see its
+        docstring for why and for the numerics vs dequant4_dt).
         """
         n_panels = N // pw
         int4 = m_hbm is not None
@@ -173,23 +174,14 @@ def _kernel_body(cfg, B, int4, refs):
                 mdma(slot, p).wait()
                 w8 = (buf[slot, pl.ds(0, rows), pl.ds(0, pw)] if not exact
                       else buf[slot])
-                qu = w8.astype(jnp.int32) & 0xFF
-                lo = qu & 0xF
-                hi = (qu >> 4) & 0xF
-                lo = jnp.where(lo < 8, lo, lo - 16)
-                hi = jnp.where(hi < 8, hi, hi - 16)
-                nib = jnp.concatenate([lo, hi], axis=0)          # [K, pw]
-                m = mbuf[slot, pl.ds(0, ng), pl.ds(0, pw)].astype(jnp.int32)
-                m = jnp.broadcast_to(
-                    m[:, None, :], (ng, G4, pw)).reshape(K, pw)
-                w = (nib * m).astype(dt)
+                acc = quant_mod.panel_matmul4(
+                    x_dt, w8, mbuf[slot, pl.ds(0, ng), pl.ds(0, pw)], dt)
             else:
                 wv = buf[slot] if exact else (
                     buf[slot, pl.ds(0, K), pl.ds(0, pw)])
-                w = wv.astype(dt)
-            acc = jax.lax.dot_general(
-                x_dt, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                acc = jax.lax.dot_general(
+                    x_dt, wv.astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             y_ref[:, pl.ds(p * pw, pw)] = acc
             return ()
 

@@ -9,13 +9,22 @@ full-precision matrix never exists in HBM.
 Layouts:
   int8: {"q": int8 [in, out], "scale": f32 [out]} — symmetric
         per-output-channel.
-  int4: {"q4": int8 [in//2, out] packed nibbles (low nibble = row r, high
-        nibble = row in//2 + r), "m8": int8 [in//GROUP4, out] per-(k-group,
-        channel) sub-multipliers, "scale": f32 [out]} — Q4_K-class grouped
-        quantization: w[k, n] ~= nib(k, n) * m8[k // GROUP4, n] * scale[n],
-        nib in [-7, 7], m8 in [1, 127]. The canonical dequant rounds the
-        integer product nib*m8 through the MODEL dtype (dequant4_dt) so the
-        XLA path and the Pallas kernels agree bit-for-bit.
+  int4: {"q4": int8 [in//2, out] packed BIASED nibbles (stored q+8 in
+        [1, 15]; low nibble = row r, high nibble = row in//2 + r), "m8":
+        int8 [in//GROUP4, out] per-(k-group, channel) sub-multipliers,
+        "scale": f32 [out]} — Q4_K-class grouped quantization:
+        w[k, n] ~= nib(k, n) * m8[k // GROUP4, n] * scale[n], nib in
+        [-7, 7], m8 in [1, 127]. The bias makes in-kernel unpack branchless
+        (`(raw & 0xF) - 8`), and the -8 folds out of the matmul entirely as
+        `8 * rowsum(x_group)` (panel_matmul4).
+
+        Two numerically-documented evaluation orders exist: dequant4_dt
+        (XLA path: integer nib*m8 rounded ONCE through the model dtype,
+        then matmul) and panel_matmul4 (kernels: per-group MXU dot of x
+        against raw nibbles, m8 applied in f32 AFTER the dot — strictly
+        less rounding). In f32 they agree to reduction-order ulp; in bf16
+        they differ within the same deviation class as the fused kernels'
+        other matmuls (see ops/fused_talker.py header).
 
 `linear(x, w)` dispatches on weight type (dense array vs quantized dict) and
 is the single matmul entry point used by the decoder stacks.
@@ -73,7 +82,7 @@ def quantize_int4(w: jax.Array) -> Dict[str, jax.Array]:
     m8 = jnp.clip(jnp.round(amax_gn / (7.0 * scale)), 1, 127)
     step = m8 * scale                                                # [G, N]
     q = jnp.clip(jnp.round(wf / jnp.repeat(step, GROUP4, axis=0)), -7, 7)
-    q = q.astype(jnp.int32)
+    q = (q + 8.0).astype(jnp.int32)            # biased storage [1, 15]
     lo = q[: K // 2] & 0xF
     hi = q[K // 2:] & 0xF
     q4 = (lo | (hi << 4)).astype(jnp.uint8).astype(jnp.int8)
@@ -82,17 +91,54 @@ def quantize_int4(w: jax.Array) -> Dict[str, jax.Array]:
 
 
 def unpack4(q4: jax.Array) -> jax.Array:
-    """Packed [K//2, N] int8 -> [K, N] int8 nibbles in [-8, 7].
-
-    Written in uint ops + where (no arithmetic shifts on int8) so the same
-    expression lowers inside Pallas kernels.
-    """
-    qu = q4.astype(jnp.uint8)
-    lo = (qu & 0xF).astype(jnp.int32)
-    hi = ((qu >> 4) & 0xF).astype(jnp.int32)
-    lo = jnp.where(lo < 8, lo, lo - 16)
-    hi = jnp.where(hi < 8, hi, hi - 16)
+    """Packed biased [K//2, N] int8 -> [K, N] int8 nibbles in [-7, 7]."""
+    qu = q4.astype(jnp.int32) & 0xFF
+    lo = (qu & 0xF) - 8
+    hi = ((qu >> 4) & 0xF) - 8
     return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def panel_matmul4(x_dt: jax.Array, w8: jax.Array, m8: jax.Array,
+                  dt) -> jax.Array:
+    """In-kernel int4 panel matmul: x [Bp, K] @ deq(packed [K//2, pw]).
+
+    Shared by ops/fused_talker.py and ops/fused_predictor.py. The naive
+    per-panel dequant ((nib*m8).astype(dt) then one big dot) costs ~10 VPU
+    passes over K*pw int32 — measured to ERASE the int4 HBM-byte win on
+    v5e (int4 frames slower than int8). This form keeps the VPU work to
+    the branchless biased unpack (~4 passes, no concat/broadcast
+    relayouts) and moves everything else to the MXU:
+
+        y = sum_g m8[g] * ( x_g @ nib_u_g  -  8 * rowsum(x_g) )
+
+    one [Bp, G4] @ [G4, pw] dot per k-group (the same MXU tiles the big
+    dot would issue), with the storage bias folded out via the rowsum and
+    m8 applied per group in f32 AFTER the dot (strictly less rounding
+    than dequant4_dt's round-through-dt; agreement documented there).
+    """
+    Bp = x_dt.shape[0]
+    K2, pw = w8.shape
+    ng = m8.shape[0]
+    ng2 = ng // 2
+    assert K2 == ng2 * GROUP4, (w8.shape, m8.shape)
+
+    qu = w8.astype(jnp.int32) & 0xFF
+    lo = (qu & 0xF).astype(dt)                 # biased nibbles [0..15]
+    hi = ((qu >> 4) & 0xF).astype(dt)
+    mf = m8.astype(jnp.float32)                # [ng, pw]
+    xf = x_dt.astype(jnp.float32)
+    acc = jnp.zeros((Bp, pw), jnp.float32)
+    for gi in range(ng):
+        plane = lo if gi < ng2 else hi
+        r0 = (gi % ng2) * GROUP4
+        xg = x_dt[:, gi * GROUP4:(gi + 1) * GROUP4]
+        part = jax.lax.dot_general(
+            xg, plane[r0:r0 + GROUP4, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bias = 8.0 * jnp.sum(xf[:, gi * GROUP4:(gi + 1) * GROUP4],
+                             axis=1, keepdims=True)
+        acc = acc + (part - bias) * mf[gi:gi + 1, :]
+    return acc
 
 
 def dequant4_dt(q4: jax.Array, m8: jax.Array, dt) -> jax.Array:

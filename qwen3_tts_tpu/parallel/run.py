@@ -18,6 +18,7 @@ from ..models import decoder, vocoder
 from ..tts import generate
 from . import mesh as mesh_lib
 from . import sharding
+from .mesh import MODEL_AXIS
 
 
 def parallel_test_config(max_steps: int = 4) -> EngineConfig:
@@ -41,9 +42,38 @@ def parallel_test_config(max_steps: int = 4) -> EngineConfig:
     )
 
 
+def tp_interleave_factor(mesh: Mesh, cfg) -> int:
+    """Head-interleave factor for this mesh's model axis (1 = flat layout).
+    Must be applied identically at weight-placement and at trace time —
+    both build_sharded_models and sharded_generate_step derive it from the
+    mesh so callers cannot desynchronise the two."""
+    m = mesh.shape[MODEL_AXIS]
+    if m > 1 and cfg.n_q_heads % m == 0 and cfg.n_kv_heads % m == 0:
+        return m
+    return 1
+
+
+def tp_config(mesh: Mesh, cfg: EngineConfig) -> EngineConfig:
+    """EngineConfig with tp_interleave set for this mesh."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        talker=dataclasses.replace(
+            cfg.talker,
+            tp_interleave=tp_interleave_factor(mesh, cfg.talker)),
+        predictor=dataclasses.replace(
+            cfg.predictor,
+            tp_interleave=tp_interleave_factor(mesh, cfg.predictor)),
+    )
+
+
 def build_sharded_models(mesh: Mesh, cfg: EngineConfig, seed: int = 0):
     """Random-init talker/predictor/assets + vocoder, placed with TP/DP
-    partition specs on the mesh."""
+    partition specs on the mesh. wqkv is emitted in the head-interleaved
+    TP layout (sharding.interleave_wqkv) whenever the mesh's model axis
+    divides the head counts, so the post-matmul q/k/v split needs no
+    GSPMD resharding."""
     k = jax.random.split(jax.random.key(seed), 4)
     big = cfg.talker.hidden >= 2048
     models = {
@@ -56,6 +86,11 @@ def build_sharded_models(mesh: Mesh, cfg: EngineConfig, seed: int = 0):
             dim=cfg.talker.hidden, proj_dim=cfg.predictor.hidden,
         ),
     }
+    for name, part in (("talker", cfg.talker), ("predictor", cfg.predictor)):
+        m = tp_interleave_factor(mesh, part)
+        if m > 1:
+            models[name]["layers"]["wqkv"] = sharding.interleave_wqkv(
+                models[name]["layers"]["wqkv"], part, m)
     models = mesh_lib.shard(mesh, models, sharding.models_specs())
     voc = vocoder.init_vocoder(k[3], cfg.vocoder)
     voc = mesh_lib.shard(mesh, voc, sharding.vocoder_param_specs())
@@ -84,6 +119,7 @@ def sharded_generate_step(
     pad = jax.device_put(
         jnp.zeros((batch,), jnp.int32), data_sharding
     )
+    cfg = tp_config(mesh, cfg)      # match build_sharded_models' layout
     with jax.set_mesh(mesh):
         codes, n_frames = generate.generate_codes(
             models, cfg.talker, cfg.predictor, prompt, pad,

@@ -21,6 +21,38 @@ from ..assets.tables import Assets
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
+def interleave_perm(nq: int, nk: int, hd: int, m: int):
+    """Column permutation taking the flat fused-qkv layout [q | k | v] to
+    `m` device blocks [q_d | k_d | v_d] (d = 0..m-1), where block d holds
+    the original contiguous head ranges d*nq/m.. and d*nk/m.. — so GSPMD's
+    contiguous column shards of the permuted matrix align exactly with the
+    per-device q/k/v split (no resharding after the qkv matmul), while the
+    recomposed global head order is unchanged (decoder.forward ni-split).
+    """
+    import numpy as np
+
+    assert nq % m == 0 and nk % m == 0, (nq, nk, m)
+    nqm, nkm = nq // m, nk // m
+    q_off, k_off, v_off = 0, nq * hd, (nq + nk) * hd
+    perm = []
+    for d in range(m):
+        perm.append(np.arange(q_off + d * nqm * hd,
+                              q_off + (d + 1) * nqm * hd))
+        perm.append(np.arange(k_off + d * nkm * hd,
+                              k_off + (d + 1) * nkm * hd))
+        perm.append(np.arange(v_off + d * nkm * hd,
+                              v_off + (d + 1) * nkm * hd))
+    return np.concatenate(perm)
+
+
+def interleave_wqkv(wqkv, cfg, m: int):
+    """Apply interleave_perm to a stacked dense wqkv [L, H, (nq+2nk)*hd]."""
+    assert not isinstance(wqkv, dict), \
+        "TP interleave applies to dense weights (quantize after)"
+    perm = interleave_perm(cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim, m)
+    return wqkv[..., perm]
+
+
 def decoder_param_specs() -> Dict[str, Any]:
     """Specs matching models.decoder init_decoder's pytree layout
     ([L, ...] stacked layers)."""

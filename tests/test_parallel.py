@@ -63,3 +63,54 @@ def test_dp_only_mesh():
         max_steps=2, seed=1,
     )
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_interleaved_wqkv_reduces_collectives():
+    """VERDICT r2 #8: the head-interleaved wqkv layout removes the GSPMD
+    resharding after the fused qkv matmul. Measured on this 2-layer config,
+    (2,4) mesh: 12 collective-permutes/step flat -> 4 interleaved (the
+    q/k/v realignment permutes disappear; the 2 per-step all-reduces are
+    the inherent TP psums and stay)."""
+    import dataclasses
+    import re
+
+    mesh = mesh_lib.make_mesh(2, 4)
+    from qwen3_tts_tpu.models import decoder
+    from jax.sharding import NamedSharding
+
+    def count_permutes(interleave):
+        tc = dataclasses.replace(CFG.talker, tp_interleave=interleave)
+        params = decoder.init_decoder(jax.random.key(0), tc)
+        if interleave > 1:
+            params["layers"]["wqkv"] = sharding.interleave_wqkv(
+                params["layers"]["wqkv"], tc, interleave)
+        params = mesh_lib.shard(mesh, params, sharding.decoder_param_specs())
+        cache = mesh_lib.shard(mesh, decoder.init_kv_cache(tc, 2),
+                               sharding.kv_cache_specs())
+        ds = NamedSharding(mesh, sharding.batch_spec())
+        x = jax.device_put(jnp.zeros((2, 1, tc.hidden)), ds)
+        pos = jax.device_put(jnp.zeros((2, 1), jnp.int32), ds)
+        with jax.set_mesh(mesh):
+            f = jax.jit(lambda p, x, c: decoder.forward(
+                p, tc, x, pos, c, jnp.int32(7)))
+            txt = f.lower(params, x, cache).compile().as_text()
+        return len(re.findall(r"collective-permute", txt))
+
+    flat, inter = count_permutes(1), count_permutes(4)
+    assert inter < flat, (flat, inter)
+
+
+def test_interleave_perm_roundtrip():
+    """The permutation is a bijection and block d holds device d's heads."""
+    import numpy as np
+
+    nq, nk, hd, m = 8, 4, 16, 4
+    perm = sharding.interleave_perm(nq, nk, hd, m)
+    assert sorted(perm.tolist()) == list(range((nq + 2 * nk) * hd))
+    blk = len(perm) // m
+    # block 0 = q heads 0..1, k head 0, v head 0 in original column order
+    want = np.concatenate([
+        np.arange(0, 2 * hd),
+        np.arange(nq * hd, nq * hd + hd),
+        np.arange((nq + nk) * hd, (nq + nk) * hd + hd)])
+    assert (perm[:blk] == want).all()
