@@ -61,6 +61,12 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # perf-debug ablations, mirroring ops/fused_talker.py: comma-set of
+    # {qkv, wo, mlp, attn, head} to SKIP (wrong results; timing attribution
+    # only — tools/bench_quant_kinds.py --ablate)
+    ablate = set(filter(None, os.environ.get(
+        "QWEN3_TTS_ABLATE", "").split(",")))
+
     H = cfg.hidden
     L = cfg.n_layers
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
@@ -267,8 +273,9 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
 
             xv = x_ref[:]
             a = rms2(xv, refs["ln1"][pl.ds(l, 1), :])
-            stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV,
-                          m_hbm=refs["m_qkv"].at[l] if int4 else None)
+            if "qkv" not in ablate:
+                stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV,
+                              m_hbm=refs["m_qkv"].at[l] if int4 else None)
             qkv = (y_ref[:, pl.ds(0, NQKV)]
                    * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
             q3 = qkv[:, : nq * hd].reshape(Bp, nq, hd)
@@ -290,24 +297,30 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
             kw.start()
             vw.start()
 
-            attn = attention(q3, kbuf[:], vbuf[:], pos)
-            stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H,
-                          m_hbm=refs["m_wo"].at[l] if int4 else None)
+            if "attn" not in ablate:
+                attn = attention(q3, kbuf[:], vbuf[:], pos)
+            else:
+                attn = jnp.zeros((Bp, nq * hd), dt)
+            if "wo" not in ablate:
+                stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H,
+                              m_hbm=refs["m_wo"].at[l] if int4 else None)
             wo_out = (y_ref[:, pl.ds(0, H)]
                       * refs["sc_wo"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = xv + wo_out
 
             m = rms2(x_ref[:], refs["ln2"][pl.ds(l, 1), :])
-            stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F,
-                          m_hbm=refs["m_gu"].at[l] if int4 else None)
+            if "mlp" not in ablate:
+                stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F,
+                              m_hbm=refs["m_gu"].at[l] if int4 else None)
             gu = (y_ref[:, pl.ds(0, 2 * F)]
                   * refs["sc_gu"][pl.ds(l, 1), :]).astype(dt)
             # explicit silu: jax.nn.silu on bf16 trips a Mosaic verifier bug
             # (f32 scalar broadcast into a bf16 vector)
             g = gu[:, :F].astype(jnp.float32)
             act = (g / (1.0 + jnp.exp(-g))).astype(dt) * gu[:, F:]
-            stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H,
-                          m_hbm=refs["m_down"].at[l] if int4 else None)
+            if "mlp" not in ablate:
+                stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H,
+                              m_hbm=refs["m_down"].at[l] if int4 else None)
             dn = (y_ref[:, pl.ds(0, H)]
                   * refs["sc_down"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = x_ref[:] + dn
@@ -318,8 +331,10 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
     def head_slice(q_idx):
         """logits_ref = head columns [q_idx*CV, (q_idx+1)*CV) of x_ref."""
         h = rms2(x_ref[:], refs["fnorm"][0:1, :])
-        stream_matmul(h, refs["whead"], wbuf_h, H, CV, col_base=q_idx * CV,
-                      m_hbm=refs["m_head"] if int4 else None)
+        if "head" not in ablate:
+            stream_matmul(h, refs["whead"], wbuf_h, H, CV,
+                          col_base=q_idx * CV,
+                          m_hbm=refs["m_head"] if int4 else None)
         lg = y_ref[:, pl.ds(0, CV)] * refs["sc_head"][pl.ds(q_idx, 1), :]
         if dense_round:     # XLA path rounds logits through cfg.dtype for
             # BOTH dense (h @ w in dt) and quantized heads (quant.linear does

@@ -114,3 +114,63 @@ def test_interleave_perm_roundtrip():
         np.arange(nq * hd, nq * hd + hd),
         np.arange((nq + nk) * hd, (nq + nk) * hd + hd)])
     assert (perm[:blk] == want).all()
+
+
+def test_sequence_parallel_prefill_matches_replicated():
+    """Long-context prefill (parallel/context.py): sequence-sharded
+    activations over the data axis produce the same hidden states and KV
+    cache as the unsharded forward, with the cache back in decode layout."""
+    import dataclasses
+    from qwen3_tts_tpu.models import decoder
+    from qwen3_tts_tpu.parallel import context
+
+    mesh = mesh_lib.make_mesh(8, 1)          # all devices on sequence
+    tc = dataclasses.replace(CFG.talker, max_seq=128)
+    params = decoder.init_decoder(jax.random.key(0), tc)
+    S = 64
+    x = 0.1 * jax.random.normal(jax.random.key(1), (1, S, tc.hidden))
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    ref_h, _, ref_cache = decoder.forward(
+        params, tc, x, pos, decoder.init_kv_cache(tc, 1), jnp.int32(0))
+
+    sparams = mesh_lib.shard(mesh, params, sharding.decoder_param_specs())
+    cache = mesh_lib.shard(mesh, decoder.init_kv_cache(tc, 1),
+                           context.prefill_cache_specs())
+    h, _, got_cache = context.prefill_sequence_sharded(
+        mesh, sparams, tc, x, pos, cache, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               rtol=2e-3, atol=2e-4)
+    for k in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(got_cache[k]),
+                                   np.asarray(ref_cache[k]),
+                                   rtol=2e-3, atol=2e-4)
+        assert got_cache[k].sharding.spec == context.prefill_cache_specs()[k]
+
+
+def test_sequence_parallel_shards_activations():
+    """The compiled prefill really computes on S/M tokens per device: the
+    qkv matmul's output in HLO is sequence-sharded, not replicated."""
+    import dataclasses
+    from qwen3_tts_tpu.models import decoder
+    from qwen3_tts_tpu.parallel import context
+
+    mesh = mesh_lib.make_mesh(8, 1)
+    tc = dataclasses.replace(CFG.talker, max_seq=128)
+    params = decoder.init_decoder(jax.random.key(0), tc)
+    S = 64
+    x = 0.1 * jax.random.normal(jax.random.key(1), (1, S, tc.hidden))
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    sparams = mesh_lib.shard(mesh, params, sharding.decoder_param_specs())
+    cache = mesh_lib.shard(mesh, decoder.init_kv_cache(tc, 1),
+                           context.prefill_cache_specs())
+
+    with jax.set_mesh(mesh):
+        f = jax.jit(lambda p, x, c: context.prefill_sequence_sharded(
+            mesh, p, tc, x, pos, c, jnp.int32(0)))
+        compiled = f.lower(sparams, x, cache).compile()
+    txt = compiled.as_text()
+    # sequence-sharded activations: per-device qkv activation rows == S/8
+    per_dev = S // 8
+    nqkv = (tc.n_q_heads + 2 * tc.n_kv_heads) * tc.head_dim
+    assert f"{per_dev},{nqkv}" in txt.replace(" ", ""), \
+        "expected a [S/8, NQKV]-shaped per-device qkv activation"
