@@ -46,6 +46,28 @@ from . import quant as quant_mod
 NEG = -1e30
 PW = 512          # max weight-panel lanes streamed per DMA
 
+# --- VMEM-resident weights -------------------------------------------------
+# The predictor's RTF cost is dominated by re-streaming the same layer
+# weights for EVERY one of the 16 sequential micro-steps (int8: 8 layers x
+# 13 MB x 16 steps ~= 1.7 GB of HBM reads per 83 ms frame; int4 halves the
+# bytes but pays a VPU nibble-unpack pass per use). A v5e core has 128 MB
+# of physical VMEM, and the whole int8 layer stack is ~109 MB: staged ONCE
+# per frame (~0.13 ms of DMA), all 16 micro-steps then read weights from
+# VMEM and HBM traffic drops ~16x. Panel loop and widths are unchanged, so
+# the resident path is bit-identical to the streamed int8 path.
+# The output head (32 MB, but only a 2 MB column slice per step) and the
+# ptab gather stay streamed. Budget leaves room for kv/rbuf/y scratch and
+# Mosaic internals under the 128 MB physical cap.
+RESIDENT_BUDGET = 110 * 1024 * 1024
+VMEM_FIXED = 14 * 1024 * 1024     # non-resident scratch + inputs + slack
+
+
+def _resident_bytes(cfg) -> int:
+    H, F, L = cfg.hidden, cfg.ffn_dim, cfg.n_layers
+    NQKV = (cfg.n_q_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
+    return L * (H * NQKV + cfg.n_q_heads * cfg.head_dim * H
+                + H * 2 * F + F * H)
+
 
 def _pw(n: int) -> int:
     return min(PW, n)
@@ -56,7 +78,8 @@ def _pw_w(n: int, cap: int) -> int:
     return n if n <= cap else math.gcd(n, cap)
 
 
-def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
+def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
+                 kv_res, refs):
     """The whole frame expansion. `refs` is the dict of kernel refs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -118,7 +141,8 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
         s = sin_r[None].astype(dt)
         return x * c + rot * s
 
-    def stream_matmul(x_dt, w_hbm, buf, K, N, col_base=None, m_hbm=None):
+    def stream_matmul(x_dt, w_hbm, buf, K, N, col_base=None, m_hbm=None,
+                      res=None):
         """y_ref[:, :N] = f32( x_dt [Bp,K] @ deq(w_hbm)[:, base:base+N] ).
 
         Dense/int8: w_hbm ref [K, N_total]; panels of `pw` lanes
@@ -127,9 +151,25 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
         packed biased nibbles + m_hbm [K//GROUP4, N_total] sub-multipliers,
         evaluated by quant.panel_matmul4 (per-group MXU dots, m8 in f32) —
         same recipe as ops/fused_talker.py.
+        `res` (VMEM-resident mode): an s8 ref [K, N_total] already staged in
+        VMEM by the kernel prologue — the identical panel loop reads panels
+        directly (same pw, same dot/cast order -> bit-identical to the
+        streamed int8 path), just with no DMA to wait on.
         """
         pw = _pw_w(N, wcap)
         n_panels = N // pw
+
+        if res is not None:
+            # one full-width dot: with no DMA to hide there is nothing to
+            # pipeline, and at M=Bp the per-panel loop/relayout overhead
+            # dominated (>2k panel iterations per frame at pw=512). Output
+            # columns are independent, so the result is bit-identical to
+            # the panel-streamed evaluation for any column partition.
+            acc = jax.lax.dot_general(
+                x_dt, res[...].astype(dt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y_ref[:, pl.ds(0, N)] = acc
+            return
         is4 = m_hbm is not None
         rows = K // 2 if is4 else K
         exact = buf.shape[1] == rows and buf.shape[2] == pw
@@ -180,16 +220,20 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
 
         jax.lax.fori_loop(0, n_panels, body, ())
 
-    def attention(q3, k3, v3, pos):
+    def attention(q3, k3, v3, pos, nB=None):
         """Block-diagonal GQA decode over the VMEM cache slice.
 
-        q3 [Bp, nq, hd]; kbuf/vbuf [B8, nk, T, hd]. Returns [Bp, nq*hd] dt.
-        Pad q rows (>= B8*nq after flatten) select pad kv blocks via the
-        group map, so their outputs are garbage but finite (bufs zeroed).
+        q3 [Bp, nq, hd]; k3/v3 [nB*nk, T, hd] (flattened rows). Returns
+        [Bp, nq*hd] dt. Pad q rows (>= nB*nq after flatten) select pad kv
+        blocks via the group map, so their outputs are garbage but finite
+        (bufs zeroed). nB defaults to the sublane-padded B8; the
+        kv-resident path passes the true B (its cache has no pad rows —
+        requires B*nq >= 8 and B*nk >= 8, checked at eligibility).
         """
-        R_att = B8 * nq
-        C_att = B8 * nk * T
-        qf = q3[:B8].reshape(R_att, hd).astype(jnp.float32)
+        nB = B8 if nB is None else nB
+        R_att = nB * nq
+        C_att = nB * nk * T
+        qf = q3[:nB].reshape(R_att, hd).astype(jnp.float32)
         kf = k3.reshape(C_att, hd)
         vf = v3.reshape(C_att, hd)
         scores = jax.lax.dot_general(
@@ -225,10 +269,10 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
         attn = jax.lax.dot_general(
             jnp.where(keep, pexp, 0.0), vf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # [R, hd]
-        attn = attn.reshape(B8, nq * hd).astype(dt)
-        if B8 != Bp:
+        attn = attn.reshape(nB, nq * hd).astype(dt)
+        if nB != Bp:
             attn = jnp.concatenate(
-                [attn, jnp.zeros((Bp - B8, nq * hd), dt)], axis=0)
+                [attn, jnp.zeros((Bp - nB, nq * hd), dt)], axis=0)
         return attn
 
     # kbuf/vbuf and the HBM cache are flattened to [rows=B*nk, T, hd]:
@@ -257,25 +301,27 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
         sin_r = refs["sin"][pl.ds(pos, 1), :]
 
         def layer(l, _):
-            # The pending write-back (previous layer's, or for layer 0 the
-            # previous token's last layer) reads kbuf/vbuf; it must land
-            # before the read DMA below overwrites those buffers.
-            @pl.when((pos > 0) | (l > 0))
-            def _():
-                l_prev = jnp.where(l > 0, l - 1, Lc - 1)
-                p_prev = jnp.where(l > 0, pos, pos - 1)
-                kw, vw = kv_write_dma(l_prev, p_prev)
-                kw.wait()
-                vw.wait()
-            kr, vr = kv_read_dma(l)
-            kr.start()
-            vr.start()
+            if not kv_res:
+                # The pending write-back (previous layer's, or for layer 0
+                # the previous token's last layer) reads kbuf/vbuf; it must
+                # land before the read DMA below overwrites those buffers.
+                @pl.when((pos > 0) | (l > 0))
+                def _():
+                    l_prev = jnp.where(l > 0, l - 1, Lc - 1)
+                    p_prev = jnp.where(l > 0, pos, pos - 1)
+                    kw, vw = kv_write_dma(l_prev, p_prev)
+                    kw.wait()
+                    vw.wait()
+                kr, vr = kv_read_dma(l)
+                kr.start()
+                vr.start()
 
             xv = x_ref[:]
             a = rms2(xv, refs["ln1"][pl.ds(l, 1), :])
             if "qkv" not in ablate:
                 stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV,
-                              m_hbm=refs["m_qkv"].at[l] if int4 else None)
+                              m_hbm=refs["m_qkv"].at[l] if int4 else None,
+                              res=refs["rw_qkv"].at[l] if resident else None)
             qkv = (y_ref[:, pl.ds(0, NQKV)]
                    * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
             q3 = qkv[:, : nq * hd].reshape(Bp, nq, hd)
@@ -284,26 +330,42 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
             q3 = rope(rms3(q3, refs["qn"][pl.ds(l, 1), :]), cos_r, sin_r)
             k3 = rope(rms3(k3, refs["kn"][pl.ds(l, 1), :]), cos_r, sin_r)
 
-            kr.wait()
-            vr.wait()
             # k3/v3 are already rounded to the model dtype (matching the
-            # XLA cache write); the f32 buffer exists because bf16 dynamic
+            # XLA cache write); the f32 buffers exist because bf16 dynamic
             # single-sublane stores are sub-tile accesses Mosaic rejects
-            kbuf[:, pl.ds(pos, 1), :] = k3[:B8].reshape(
-                B8 * nk, 1, hd).astype(kbuf.dtype)
-            vbuf[:, pl.ds(pos, 1), :] = v3[:B8].reshape(
-                B8 * nk, 1, hd).astype(vbuf.dtype)
-            kw, vw = kv_write_dma(l, pos)
-            kw.start()
-            vw.start()
-
-            if "attn" not in ablate:
-                attn = attention(q3, kbuf[:], vbuf[:], pos)
+            if kv_res:
+                # whole-frame cache lives in VMEM scratch [L*B*nk, T, hd]:
+                # no DMA ping-pong, no cross-layer write/read ordering
+                kres, vres = refs["kres"], refs["vres"]
+                BKr = B * nk
+                row0 = pl.multiple_of(l * BKr, BKr)
+                kres[pl.ds(row0, BKr), pl.ds(pos, 1), :] = k3[:B].reshape(
+                    BKr, 1, hd).astype(jnp.float32)
+                vres[pl.ds(row0, BKr), pl.ds(pos, 1), :] = v3[:B].reshape(
+                    BKr, 1, hd).astype(jnp.float32)
             else:
+                kr.wait()
+                vr.wait()
+                kbuf[:, pl.ds(pos, 1), :] = k3[:B8].reshape(
+                    B8 * nk, 1, hd).astype(kbuf.dtype)
+                vbuf[:, pl.ds(pos, 1), :] = v3[:B8].reshape(
+                    B8 * nk, 1, hd).astype(vbuf.dtype)
+                kw, vw = kv_write_dma(l, pos)
+                kw.start()
+                vw.start()
+
+            if "attn" in ablate:
                 attn = jnp.zeros((Bp, nq * hd), dt)
+            elif kv_res:
+                attn = attention(
+                    q3, kres[pl.ds(row0, BKr)], vres[pl.ds(row0, BKr)],
+                    pos, nB=B)
+            else:
+                attn = attention(q3, kbuf[:], vbuf[:], pos)
             if "wo" not in ablate:
                 stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H,
-                              m_hbm=refs["m_wo"].at[l] if int4 else None)
+                              m_hbm=refs["m_wo"].at[l] if int4 else None,
+                              res=refs["rw_o"].at[l] if resident else None)
             wo_out = (y_ref[:, pl.ds(0, H)]
                       * refs["sc_wo"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = xv + wo_out
@@ -311,7 +373,8 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
             m = rms2(x_ref[:], refs["ln2"][pl.ds(l, 1), :])
             if "mlp" not in ablate:
                 stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F,
-                              m_hbm=refs["m_gu"].at[l] if int4 else None)
+                              m_hbm=refs["m_gu"].at[l] if int4 else None,
+                              res=refs["rw_gu"].at[l] if resident else None)
             gu = (y_ref[:, pl.ds(0, 2 * F)]
                   * refs["sc_gu"][pl.ds(l, 1), :]).astype(dt)
             # explicit silu: jax.nn.silu on bf16 trips a Mosaic verifier bug
@@ -320,7 +383,9 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
             act = (g / (1.0 + jnp.exp(-g))).astype(dt) * gu[:, F:]
             if "mlp" not in ablate:
                 stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H,
-                              m_hbm=refs["m_down"].at[l] if int4 else None)
+                              m_hbm=refs["m_down"].at[l] if int4 else None,
+                              res=refs["rw_down"].at[l] if resident
+                              else None)
             dn = (y_ref[:, pl.ds(0, H)]
                   * refs["sc_down"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = x_ref[:] + dn
@@ -349,9 +414,29 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
         return jnp.min(jnp.where(lg >= m, iota, CV), axis=-1, keepdims=True)
 
     # ---- frame expansion ----
+    if resident:
+        # stage the whole int8 layer stack HBM -> VMEM once (~109 MB,
+        # ~0.13 ms); every micro-step then reads weights at VMEM bandwidth
+        stages = [
+            (refs["wqkv"], refs["rw_qkv"]),
+            (refs["wo"], refs["rw_o"]),
+            (refs["wgu"], refs["rw_gu"]),
+            (refs["wdown"], refs["rw_down"]),
+        ]
+        copies = [pltpu.make_async_copy(src, dst, refs["rwsem"].at[i])
+                  for i, (src, dst) in enumerate(stages)]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
     out_codes[:] = jnp.zeros(out_codes.shape, jnp.int32)
-    kbuf[:] = jnp.zeros(kbuf.shape, kbuf.dtype)
-    vbuf[:] = jnp.zeros(vbuf.shape, vbuf.dtype)
+    if kv_res:
+        refs["kres"][:] = jnp.zeros(refs["kres"].shape, jnp.float32)
+        refs["vres"][:] = jnp.zeros(refs["vres"].shape, jnp.float32)
+    else:
+        kbuf[:] = jnp.zeros(kbuf.shape, kbuf.dtype)
+        vbuf[:] = jnp.zeros(vbuf.shape, vbuf.dtype)
 
     # Prefill as a fori_loop so `pos` is always a traced value: Mosaic's
     # load lowering rejects pl.ds() with a constant-folded scalar index.
@@ -414,13 +499,14 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs):
 
     # drain the one still-pending cache write-back (last layer, last token);
     # fori keeps the indices traced (constant pl.ds indices fail to lower)
-    def drain(z, _):
-        kw, vw = kv_write_dma(z + (L - 1), z + (NB - 1))
-        kw.wait()
-        vw.wait()
-        return ()
+    if not kv_res:
+        def drain(z, _):
+            kw, vw = kv_write_dma(z + (L - 1), z + (NB - 1))
+            kw.wait()
+            vw.wait()
+            return ()
 
-    jax.lax.fori_loop(0, 1, drain, ())
+        jax.lax.fori_loop(0, 1, drain, ())
 
 
 def _split_w(w, n_out):
@@ -505,12 +591,33 @@ def frame_codes_fused(
 
     cache0 = jnp.zeros((2, L, B * nk, T, hd), jnp.float32)
 
+    # resident mode: int8 weights + the whole layer stack fits the VMEM
+    # budget (see RESIDENT_BUDGET). Interpret mode included so CPU tests
+    # cover the resident code path bit-for-bit against the streamed one.
+    resident = (
+        not int4
+        and quant_mod.is_quantized(lw["wqkv"])
+        and _resident_bytes(cfg) <= RESIDENT_BUDGET
+        and os.environ.get("QWEN3_TTS_NO_RESIDENT") != "1"
+    )
+    # kv-resident: the whole frame-local cache as VMEM scratch (no per
+    # (step, layer) DMA ping-pong — measured as the largest share of the
+    # resident kernel's non-matmul floor). Needs true-B row counts to be
+    # sublane-viable and the weight+cache budget to fit under VMEM.
+    kv_bytes = 2 * 4 * L * B * nk * T * hd
+    kv_res = (
+        resident
+        and B * nq >= 8 and B * nk >= 8
+        and _resident_bytes(cfg) + kv_bytes + VMEM_FIXED
+        <= 126 * 1024 * 1024
+        and os.environ.get("QWEN3_TTS_NO_KV_RES") != "1"
+    )
+
     # int4 packs two rows per byte AND halves row counts, so panels can be
-    # twice as wide for the same VMEM budget (matches ops/fused_talker.py)
-    # int4 once used 2*PW (packed rows halve staging), but panel_matmul4's
-    # unpacked lo/hi planes put the scoped-VMEM peak 216K over the 16M
-    # limit at 2*PW on v5e — PW keeps the whole step resident with room
-    wcap = PW
+    # twice as wide for the same VMEM budget (matches ops/fused_talker.py);
+    # the per-kernel vmem_limit_bytes below lifts the default 16M scoped
+    # cap that once forced int4 back to PW
+    wcap = 2 * PW if int4 else PW
     pwh = max(_pw_w(NQKV, wcap), _pw_w(H, wcap), _pw_w(2 * F, wcap),
               _pw_w(CV, wcap))
     pwf = _pw_w(H, wcap)
@@ -521,7 +628,45 @@ def frame_codes_fused(
 
     kern = functools.partial(_kernel, cfg=cfg, B=B, Bp=Bp, B8=B8,
                              dense_round=dense_round, ptab_rows=R0,
-                             int4=int4, wcap=wcap)
+                             int4=int4, wcap=wcap, resident=resident,
+                             kv_res=kv_res)
+
+    scratch = [
+        pltpu.VMEM((Bp, H), dt),                       # x
+        pltpu.VMEM((Bp, ymax), jnp.float32),           # y
+        pltpu.VMEM((Bp, CV), jnp.float32),             # logits
+        pltpu.VMEM((Bp, H), jnp.float32),              # acc
+        pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # kbuf
+        pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # vbuf
+        pltpu.VMEM((2, wrows_h, pwh), wqkv.dtype),     # wbuf_h
+        pltpu.VMEM((2, wrows_f, pwf), wdown.dtype),    # wbuf_f
+        pltpu.VMEM((2, ngmax, pwh), jnp.int8),         # mbuf
+        pltpu.VMEM((2, _pw(R), H), dt),                # rbuf
+        pltpu.SemaphoreType.DMA((2,)),                 # wsem
+        pltpu.SemaphoreType.DMA((2,)),                 # msem
+        pltpu.SemaphoreType.DMA((2,)),                 # rsem
+        pltpu.SemaphoreType.DMA(()),                   # krsem
+        pltpu.SemaphoreType.DMA(()),                   # vrsem
+        pltpu.SemaphoreType.DMA(()),                   # kwsem
+        pltpu.SemaphoreType.DMA(()),                   # vwsem
+    ]
+    if resident:
+        scratch += [
+            pltpu.VMEM((L, H, NQKV), jnp.int8),        # rw_qkv
+            pltpu.VMEM((L, nq * hd, H), jnp.int8),     # rw_o
+            pltpu.VMEM((L, H, 2 * F), jnp.int8),       # rw_gu
+            pltpu.VMEM((L, F, H), jnp.int8),           # rw_down
+            pltpu.SemaphoreType.DMA((4,)),             # rwsem
+        ]
+        vmem_limit = _resident_bytes(cfg) + VMEM_FIXED
+    else:
+        vmem_limit = 64 * 1024 * 1024
+    if kv_res:
+        scratch += [
+            pltpu.VMEM((L * B * nk, T, hd), jnp.float32),   # kres
+            pltpu.VMEM((L * B * nk, T, hd), jnp.float32),   # vres
+        ]
+        vmem_limit += kv_bytes
 
     codes, _ = pl.pallas_call(
         kern,
@@ -561,26 +706,9 @@ def frame_codes_fused(
             jax.ShapeDtypeStruct(cache0.shape, jnp.float32),
         ),
         input_output_aliases={24: 1},
-        scratch_shapes=[
-            pltpu.VMEM((Bp, H), dt),                       # x
-            pltpu.VMEM((Bp, ymax), jnp.float32),           # y
-            pltpu.VMEM((Bp, CV), jnp.float32),             # logits
-            pltpu.VMEM((Bp, H), jnp.float32),              # acc
-            pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # kbuf
-            pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # vbuf
-            pltpu.VMEM((2, wrows_h, pwh), wqkv.dtype),     # wbuf_h
-            pltpu.VMEM((2, wrows_f, pwf), wdown.dtype),    # wbuf_f
-            pltpu.VMEM((2, ngmax, pwh), jnp.int8),         # mbuf
-            pltpu.VMEM((2, _pw(R), H), dt),                # rbuf
-            pltpu.SemaphoreType.DMA((2,)),                 # wsem
-            pltpu.SemaphoreType.DMA((2,)),                 # msem
-            pltpu.SemaphoreType.DMA((2,)),                 # rsem
-            pltpu.SemaphoreType.DMA(()),                   # krsem
-            pltpu.SemaphoreType.DMA(()),                   # vrsem
-            pltpu.SemaphoreType.DMA(()),                   # kwsem
-            pltpu.SemaphoreType.DMA(()),                   # vwsem
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(e01, cos, sin,
       lw["ln1"].astype(jnp.float32), lw["ln2"].astype(jnp.float32),
@@ -598,10 +726,11 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
             sc_qkv, sc_wo, sc_gu, sc_down, sc_head,
             wqkv, wo, wgu, wdown, whead,
             m_qkv, m_wo, m_gu, m_down, m_head, ptab, cache_in,
-            codes, cache_out,
-            x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, mbuf, rbuf,
-            wsem, msem, rsem, krsem, vrsem, kwsem, vwsem,
-            *, cfg, B, Bp, B8, dense_round, ptab_rows, int4, wcap):
+            codes, cache_out, *scr,
+            cfg, B, Bp, B8, dense_round, ptab_rows, int4, wcap, resident,
+            kv_res):
+    (x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, mbuf, rbuf,
+     wsem, msem, rsem, krsem, vrsem, kwsem, vwsem) = scr[:17]
     refs = dict(
         e01=e01, cos=cos, sin=sin, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
         fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
@@ -614,7 +743,15 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
         wsem=wsem, msem=msem,
         rsem=rsem, krsem=krsem, vrsem=vrsem, kwsem=kwsem, vwsem=vwsem,
     )
-    _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, refs)
+    extra = list(scr[17:])
+    if resident:
+        (refs["rw_qkv"], refs["rw_o"], refs["rw_gu"], refs["rw_down"],
+         refs["rwsem"]) = extra[:5]
+        extra = extra[5:]
+    if kv_res:
+        refs["kres"], refs["vres"] = extra
+    _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
+                 kv_res, refs)
 
 
 def make_ptab(assets, cfg):

@@ -55,6 +55,13 @@ from . import quant as quant_mod
 NEG = -1e30
 ABLK = 256        # attention cache slots per DMA block (== flash_decode.BLK)
 PW = 512          # max weight-panel lanes streamed per DMA (int8)
+# Per-kernel VMEM budget. The default 16M scoped limit is what a v5e core
+# can allocate without compiler flags, but the chip has 128M of physical
+# VMEM; BENCH r3 hit 17.45M inside the scan-based streaming step (the
+# while_loop program packs the same kernel differently) — raising the
+# per-kernel cap via CompilerParams fixes that without process-global
+# XLA_FLAGS, and leaves headroom for wider weight panels.
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _pw(n: int, cap: int) -> int:
@@ -92,7 +99,8 @@ def _kernel_body(cfg, B, int4, refs):
     BK = B * nk                       # kv-cache rows staged per block
     Ra = refs["acc"].shape[0]         # attention rows (>= B*nq, f32 sublane)
     eps = cfg.rms_eps
-    wcap = refs["wbuf_h"].shape[2]
+    lanes_h = refs["wbuf_h"].shape[2]   # buffer lanes (>= wcap: head panel)
+    wcap = refs["wcap_panel"]           # qkv/wo/gu panel width
     fcap = refs["wbuf_f"].shape[2]
 
     x_ref, y_ref = refs["x"], refs["y"]
@@ -378,7 +386,10 @@ def _kernel_body(cfg, B, int4, refs):
 
     h = rms2(x_ref[:], refs["fnorm"][0:1, :])
     refs["hidden"][:] = h
-    pw_head = _pw(V, wcap)
+    # the head's V=2176 shares no large power-of-two factor with the panel
+    # cap (gcd 128 -> 17 tiny DMAs + 17 skinny dots); when the buffer was
+    # sized to take the whole head in one panel, use it
+    pw_head = V if V <= lanes_h else _pw(V, wcap)
     stream_matmul(h, refs["whead"], wbuf_h, H, V, pw_head,
                   m_hbm=refs["m_head"] if int4 else None, mbuf=mbuf)
     lg = y_ref[:, pl.ds(0, V)] * refs["sc_head"][:]
@@ -397,8 +408,9 @@ def _kernel(x0, cos_q, sin_q, cos_k, sin_k, kvlen, vfrom, kvmax,
             hidden, logits, knew, vnew,
             x, y, kbuf, vbuf, wbuf_h, wbuf_f, mbuf,
             acc, m, l, q, wsem, msem, ksem, vsem,
-            *, cfg, B, int4):
+            *, cfg, B, int4, wcap_panel):
     refs = dict(
+        wcap_panel=wcap_panel,
         x0=x0, cos_q=cos_q, sin_q=sin_q, cos_k=cos_k, sin_k=sin_k,
         kvlen=kvlen, vfrom=vfrom, kvmax=kvmax, ln1=ln1, ln2=ln2, qn=qn,
         kn=kn, fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
@@ -466,12 +478,20 @@ def talker_step_fused(
         m_head = dummy[0]
 
     # panel widths: narrower weight bytes allow wider panels for the same
-    # VMEM budget (int4 packs two rows per byte AND halves the row count)
+    # VMEM budget (int4 packs two rows per byte AND halves the row count).
+    # QWEN3_TTS_TALKER_PANEL overrides the base width (trace-time knob for
+    # tools/bench_ablate.py sweeps; production default measured on v5e).
+    pw_base = int(os.environ.get("QWEN3_TTS_TALKER_PANEL", PW))
     wbytes = jnp.dtype(wqkv.dtype).itemsize
-    cap = (2 * PW) if int4 else (PW if wbytes == 1 else PW // 2)
-    # wcap serves qkv/wo/gu (N = NQKV, H, 2F); the head streams narrower
-    # panels (pw = gcd(V, wcap)) through a slice of the same buffer
+    cap = (2 * pw_base) if int4 else (pw_base if wbytes == 1
+                                      else pw_base // 2)
+    # wcap serves qkv/wo/gu (N = NQKV, H, 2F); the head would otherwise
+    # stream gcd(V, wcap)=128-lane slivers (V=2176 shares only 2^7 with the
+    # cap), so the shared buffer gets enough lanes to take the whole head
+    # as ONE panel when V is moderate (<= 2304 lanes keeps the buffer well
+    # under the raised per-kernel VMEM cap)
     wcap = _pw(math.gcd(NQKV, math.gcd(H, 2 * F)), cap)
+    lanes_h = max(wcap, V) if V <= 2304 else wcap
     fcap = _pw(H, cap // 2)
     wrows_h = H // 2 if int4 else H        # wo/head use a row slice
     wrows_f = F // 2 if int4 else F
@@ -503,7 +523,8 @@ def talker_step_fused(
     vc = v_cache.reshape(L, B * nk, T, hd)
 
     ymax = max(NQKV, 2 * F, H, V)
-    kern = functools.partial(_kernel, cfg=cfg, B=B, int4=int4)
+    kern = functools.partial(_kernel, cfg=cfg, B=B, int4=int4,
+                             wcap_panel=wcap)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     aspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -523,9 +544,9 @@ def talker_step_fused(
             pltpu.VMEM((Bp, ymax), jnp.float32),                # y
             pltpu.VMEM((2, nk, ABLK, hd), kc.dtype),            # kbuf (1 row)
             pltpu.VMEM((2, nk, ABLK, hd), vc.dtype),            # vbuf
-            pltpu.VMEM((2, wrows_h, wcap), wqkv.dtype),         # wbuf_h
+            pltpu.VMEM((2, wrows_h, lanes_h), wqkv.dtype),      # wbuf_h
             pltpu.VMEM((2, wrows_f, fcap), wdown.dtype),        # wbuf_f
-            pltpu.VMEM((2, ngmax, wcap), jnp.int8),             # mbuf
+            pltpu.VMEM((2, ngmax, lanes_h), jnp.int8),          # mbuf
             pltpu.VMEM((Ra, hd), jnp.float32),                  # acc
             pltpu.VMEM((Ra, 128), jnp.float32),                 # m
             pltpu.VMEM((Ra, 128), jnp.float32),                 # l
@@ -535,7 +556,8 @@ def talker_step_fused(
             pltpu.SemaphoreType.DMA(()),                        # ksem
             pltpu.SemaphoreType.DMA(()),                        # vsem
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xp, cos_q, sin_q, cos_k, sin_k, kv_len, valid_from, kv_max,
       lw["ln1"].astype(jnp.float32), lw["ln2"].astype(jnp.float32),

@@ -122,9 +122,14 @@ def panel_matmul4(x_dt: jax.Array, w8: jax.Array, m8: jax.Array,
     ng2 = ng // 2
     assert K2 == ng2 * GROUP4, (w8.shape, m8.shape)
 
+    # unpack cost is the int4 kernels' VPU bound (the HBM bytes are half of
+    # int8 but every nibble still needs mask/shift/cast lane-ops), so keep
+    # the pass count minimal: after & 0xFF the word is non-negative, so the
+    # arithmetic >> 4 needs no second mask. (uint8 storage would also drop
+    # the widening pass, but Mosaic has no uint8->bf16 cast lowering.)
     qu = w8.astype(jnp.int32) & 0xFF
     lo = (qu & 0xF).astype(dt)                 # biased nibbles [0..15]
-    hi = ((qu >> 4) & 0xF).astype(dt)
+    hi = (qu >> 4).astype(dt)
     mf = m8.astype(jnp.float32)                # [ng, pw]
     xf = x_dt.astype(jnp.float32)
     acc = jnp.zeros((Bp, pw), jnp.float32)

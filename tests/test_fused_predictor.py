@@ -175,3 +175,65 @@ def test_generate_codes_fused_wiring(monkeypatch):
 
     assert jnp.array_equal(dense_n, fused_n)
     assert jnp.array_equal(dense_codes, fused_codes)
+
+
+def test_resident_matches_streamed_int8():
+    """The VMEM-resident int8 path (weights staged once per frame) must be
+    BIT-identical to the panel-streamed int8 path: same panel widths, same
+    dot/cast order, only the DMA source differs (fused_predictor.py
+    RESIDENT_BUDGET block)."""
+    import os
+
+    params, assets, ptab, key = _setup(CFG, seed=7)
+    params_q = quant.quantize_decoder_params(params)
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (1, CFG.hidden), jnp.float32)
+    code0 = jnp.array([11], jnp.int32)
+
+    assert fused_predictor._resident_bytes(CFG) <= \
+        fused_predictor.RESIDENT_BUDGET
+    res = fused_predictor.frame_codes_fused(
+        params_q, CFG, ptab[0], ptab[1], h1024, code0, interpret=True)
+
+    os.environ["QWEN3_TTS_NO_RESIDENT"] = "1"
+    try:
+        jax.clear_caches()      # the flag is read at trace time
+        stream = fused_predictor.frame_codes_fused(
+            params_q, CFG, ptab[0], ptab[1], h1024, code0, interpret=True)
+    finally:
+        del os.environ["QWEN3_TTS_NO_RESIDENT"]
+        jax.clear_caches()
+    assert jnp.array_equal(res, stream), (res, stream)
+
+
+def test_kv_resident_matches_hbm_cache():
+    """kv-resident mode (frame cache in VMEM scratch, no per-(step,layer)
+    DMA) vs the HBM-cache dance, and both vs the XLA oracle. Needs
+    B*nq >= 8, so an 8-head config."""
+    import os
+
+    cfg = PredictorConfig(
+        hidden=64, n_layers=2, n_q_heads=8, n_kv_heads=8, head_dim=16,
+        ffn_dim=128, max_seq=32, mrope_sections=(8, 0, 0, 0),
+        dtype="float32",
+    )
+    params, assets, ptab, key = _setup(cfg, seed=9)
+    params_q = quant.quantize_decoder_params(params)
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (1, cfg.hidden), jnp.float32)
+    code0 = jnp.array([21], jnp.int32)
+
+    ref = predictor.frame_codes(params_q, cfg, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params_q, cfg, ptab[0], ptab[1], h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got), (ref, got)
+
+    os.environ["QWEN3_TTS_NO_KV_RES"] = "1"
+    try:
+        jax.clear_caches()
+        hbm = fused_predictor.frame_codes_fused(
+            params_q, cfg, ptab[0], ptab[1], h1024, code0, interpret=True)
+    finally:
+        del os.environ["QWEN3_TTS_NO_KV_RES"]
+        jax.clear_caches()
+    assert jnp.array_equal(got, hbm), (got, hbm)

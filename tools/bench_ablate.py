@@ -24,6 +24,9 @@ def med(ts):
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "predictor"
     kind = sys.argv[2] if len(sys.argv) > 2 else "int4"
+    global ABLATIONS
+    if len(sys.argv) > 3:        # explicit ablation list ("-" = baseline)
+        ABLATIONS = [a if a != "-" else "" for a in sys.argv[3].split(";")]
 
     import jax
     import jax.numpy as jnp

@@ -38,7 +38,12 @@ def main() -> int:
     from qwen3_tts_tpu.ops import fused_predictor, fused_talker, quant
 
     cfg = EngineConfig()
-    tc, pc = cfg.talker, cfg.predictor
+    # flagship widths/depths, shorter context: the A/B exercises the same
+    # kernel code paths, but full 4096-slot caches at B=8 put three live
+    # copies (input, XLA out, fused out) at ~11 GB and OOM the 16 GB chip
+    import dataclasses
+    tc = dataclasses.replace(cfg.talker, max_seq=1024)
+    pc = cfg.predictor
     dt = jnp.dtype(tc.dtype)
     report = {"ok": True, "device": str(jax.devices()[0])}
 
