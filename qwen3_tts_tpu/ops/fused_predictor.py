@@ -431,6 +431,9 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
             c.wait()
 
     out_codes[:] = jnp.zeros(out_codes.shape, jnp.int32)
+    if "rowbuf" in refs:      # pad rows of x stay zero in gather mode
+        refs["rowbuf"][:] = jnp.zeros(refs["rowbuf"].shape,
+                                      refs["rowbuf"].dtype)
     if kv_res:
         refs["kres"][:] = jnp.zeros(refs["kres"].shape, jnp.float32)
         refs["vres"][:] = jnp.zeros(refs["vres"].shape, jnp.float32)
@@ -462,35 +465,54 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
 
         @pl.when(q < NB - 1)
         def _():
-            # emb = one-hot(code) @ ptab[q]  (== codec_embedding_1024(q, c))
-            rw = RW
-            n_panels = R // rw
+            if "rowbuf" in refs:
+                # direct row gather: DMA ONLY ptab[q, sel_b] per batch row
+                # (a dt row == exactly what the one-hot matmul would
+                # reconstruct) instead of streaming all R rows per step.
+                # B row DMAs of H*2 bytes replace R*H*2 bytes + R-wide
+                # one-hot dots. The per-row index is a scalar extraction
+                # from the argmax vector (VMEM->SMEM DMA of the index does
+                # not lower on TPU Mosaic).
+                rowbuf = refs["rowbuf"]
+                rcs = [pltpu.make_async_copy(
+                    refs["ptab"].at[q, pl.ds(sel[b, 0], 1), :],
+                    rowbuf.at[pl.ds(b, 1), :], refs["rowsem"].at[b])
+                    for b in range(B)]
+                for rc in rcs:
+                    rc.start()
+                for rc in rcs:
+                    rc.wait()
+                x_ref[:] = rowbuf[:]
+            else:
+                # emb = one-hot(code) @ ptab[q] (== codec_embedding_1024)
+                rw = RW
+                n_panels = R // rw
 
-            def rdma(slot, p):
-                return pltpu.make_async_copy(
-                    refs["ptab"].at[q, pl.ds(p * rw, rw), :],
-                    rbuf.at[slot], rsem.at[slot])
+                def rdma(slot, p):
+                    return pltpu.make_async_copy(
+                        refs["ptab"].at[q, pl.ds(p * rw, rw), :],
+                        rbuf.at[slot], rsem.at[slot])
 
-            rdma(0, 0).start()
-            acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+                rdma(0, 0).start()
+                acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-            def body(p, _):
-                slot = jax.lax.rem(p, 2)
+                def body(p, _):
+                    slot = jax.lax.rem(p, 2)
 
-                @pl.when(p + 1 < n_panels)
-                def _():
-                    rdma(jax.lax.rem(p + 1, 2), p + 1).start()
+                    @pl.when(p + 1 < n_panels)
+                    def _():
+                        rdma(jax.lax.rem(p + 1, 2), p + 1).start()
 
-                rdma(slot, p).wait()
-                iota = jax.lax.broadcasted_iota(jnp.int32, (Bp, rw), 1)
-                oh = (iota + p * rw == sel).astype(dt)
-                acc_ref[:] += jax.lax.dot_general(
-                    oh, rbuf[slot].astype(dt), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                return ()
+                    rdma(slot, p).wait()
+                    iota = jax.lax.broadcasted_iota(jnp.int32, (Bp, rw), 1)
+                    oh = (iota + p * rw == sel).astype(dt)
+                    acc_ref[:] += jax.lax.dot_general(
+                        oh, rbuf[slot].astype(dt), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return ()
 
-            jax.lax.fori_loop(0, n_panels, body, ())
-            x_ref[:] = acc_ref[:].astype(dt)
+                jax.lax.fori_loop(0, n_panels, body, ())
+                x_ref[:] = acc_ref[:].astype(dt)
             stack_pass(q + 1)
             head_slice(q)              # codebook-(q+1) logits
         return ()
@@ -626,10 +648,14 @@ def frame_codes_fused(
     ngmax = max(H, nq * hd, F) // quant_mod.GROUP4 if int4 else 1
     ymax = max(NQKV, 2 * F, H, CV)
 
+    # direct ptab row gather (see step() in _kernel_body): needs one SMEM
+    # round-trip per step + B row DMAs; worthwhile at decode batches
+    gather = B <= 8 and os.environ.get("QWEN3_TTS_NO_PTAB_GATHER") != "1"
+
     kern = functools.partial(_kernel, cfg=cfg, B=B, Bp=Bp, B8=B8,
                              dense_round=dense_round, ptab_rows=R0,
                              int4=int4, wcap=wcap, resident=resident,
-                             kv_res=kv_res)
+                             kv_res=kv_res, gather=gather)
 
     scratch = [
         pltpu.VMEM((Bp, H), dt),                       # x
@@ -667,6 +693,11 @@ def frame_codes_fused(
             pltpu.VMEM((L * B * nk, T, hd), jnp.float32),   # vres
         ]
         vmem_limit += kv_bytes
+    if gather:
+        scratch += [
+            pltpu.VMEM((Bp, H), dt),                       # rowbuf
+            pltpu.SemaphoreType.DMA((B,)),                 # rowsem
+        ]
 
     codes, _ = pl.pallas_call(
         kern,
@@ -728,7 +759,7 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
             m_qkv, m_wo, m_gu, m_down, m_head, ptab, cache_in,
             codes, cache_out, *scr,
             cfg, B, Bp, B8, dense_round, ptab_rows, int4, wcap, resident,
-            kv_res):
+            kv_res, gather):
     (x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, mbuf, rbuf,
      wsem, msem, rsem, krsem, vrsem, kwsem, vwsem) = scr[:17]
     refs = dict(
@@ -749,7 +780,10 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
          refs["rwsem"]) = extra[:5]
         extra = extra[5:]
     if kv_res:
-        refs["kres"], refs["vres"] = extra
+        refs["kres"], refs["vres"] = extra[:2]
+        extra = extra[2:]
+    if gather:
+        refs["rowbuf"], refs["rowsem"] = extra
     _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
                  kv_res, refs)
 
