@@ -45,6 +45,9 @@ from . import quant as quant_mod
 
 NEG = -1e30
 PW = 512          # max weight-panel lanes streamed per DMA
+GW = 16           # ptab gather window rows: covers the sublane tiling of
+#                   every supported dtype (bf16 packs 16 rows/tile, f32 8) so
+#                   an aligned GW-row slice is always Mosaic-legal
 
 # --- VMEM-resident weights -------------------------------------------------
 # The predictor's RTF cost is dominated by re-streaming the same layer
@@ -78,8 +81,8 @@ def _pw_w(n: int, cap: int) -> int:
     return n if n <= cap else math.gcd(n, cap)
 
 
-def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
-                 kv_res, refs):
+def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
+                 kv_res, gather, refs):
     """The whole frame expansion. `refs` is the dict of kernel refs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -101,20 +104,20 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
     NB = protocol.NUM_CODEBOOKS
     dt = jnp.dtype(cfg.dtype)
     Bp = refs["x"].shape[0]
-    B8 = refs["kbuf"].shape[0] // nk
     R = refs["ptab"].shape[1]
-    RW = refs["rbuf"].shape[1]
+    rbuf = refs.get("rbuf")            # absent in gather mode (dead scratch)
+    RW = rbuf.shape[1] if rbuf is not None else 0
     inv_sqrt = 1.0 / float(hd) ** 0.5
     eps = cfg.rms_eps
 
     x_ref, y_ref, logits_ref, acc_ref = (
         refs["x"], refs["y"], refs["logits"], refs["acc"])
-    kbuf, vbuf = refs["kbuf"], refs["vbuf"]
-    wbuf_h, wbuf_f, rbuf = refs["wbuf_h"], refs["wbuf_f"], refs["rbuf"]
+    kbuf, vbuf = refs.get("kbuf"), refs.get("vbuf")   # absent in kv_res mode
+    wbuf_h, wbuf_f = refs["wbuf_h"], refs["wbuf_f"]
     mbuf, msem = refs["mbuf"], refs["msem"]
-    wsem, rsem = refs["wsem"], refs["rsem"]
-    krsem, vrsem = refs["krsem"], refs["vrsem"]
-    kwsem, vwsem = refs["kwsem"], refs["vwsem"]
+    wsem, rsem = refs["wsem"], refs.get("rsem")
+    krsem, vrsem = refs.get("krsem"), refs.get("vrsem")
+    kwsem, vwsem = refs.get("kwsem"), refs.get("vwsem")
     cache = refs["cache_out"]
     out_codes = refs["codes"]
     Lc = jnp.int32(L)
@@ -431,9 +434,6 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
             c.wait()
 
     out_codes[:] = jnp.zeros(out_codes.shape, jnp.int32)
-    if "rowbuf" in refs:      # pad rows of x stay zero in gather mode
-        refs["rowbuf"][:] = jnp.zeros(refs["rowbuf"].shape,
-                                      refs["rowbuf"].dtype)
     if kv_res:
         refs["kres"][:] = jnp.zeros(refs["kres"].shape, jnp.float32)
         refs["vres"][:] = jnp.zeros(refs["vres"].shape, jnp.float32)
@@ -465,24 +465,33 @@ def _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
 
         @pl.when(q < NB - 1)
         def _():
-            if "rowbuf" in refs:
-                # direct row gather: DMA ONLY ptab[q, sel_b] per batch row
-                # (a dt row == exactly what the one-hot matmul would
-                # reconstruct) instead of streaming all R rows per step.
-                # B row DMAs of H*2 bytes replace R*H*2 bytes + R-wide
-                # one-hot dots. The per-row index is a scalar extraction
-                # from the argmax vector (VMEM->SMEM DMA of the index does
-                # not lower on TPU Mosaic).
-                rowbuf = refs["rowbuf"]
+            if gather:
+                # tile-aligned row gather (r3's 1-row DMA was Mosaic-illegal:
+                # dim-1 slices of the sublane-tiled ptab must be a multiple
+                # of the tiling — VERDICT r3 #1). DMA the aligned GW-row
+                # window containing sel[b] per batch row (B windows of
+                # GW*H*2 bytes replace streaming all R rows per step), then
+                # pick each row in-VMEM with a block-diagonal one-hot dot —
+                # exact, because 1.0 weights select dt rows into an f32
+                # accumulator (== what the one-hot matmul reconstructs).
+                rowbuf = refs["rowbuf"]                   # [B*GW, H]
+                base = (sel // GW) * GW                   # [Bp, 1]
                 rcs = [pltpu.make_async_copy(
-                    refs["ptab"].at[q, pl.ds(sel[b, 0], 1), :],
-                    rowbuf.at[pl.ds(b, 1), :], refs["rowsem"].at[b])
+                    refs["ptab"].at[
+                        q, pl.ds(pl.multiple_of(base[b, 0], GW), GW), :],
+                    rowbuf.at[pl.ds(b * GW, GW), :], refs["rowsem"].at[b])
                     for b in range(B)]
                 for rc in rcs:
                     rc.start()
                 for rc in rcs:
                     rc.wait()
-                x_ref[:] = rowbuf[:]
+                jcol = jax.lax.broadcasted_iota(jnp.int32, (Bp, B * GW), 1)
+                irow = jax.lax.broadcasted_iota(jnp.int32, (Bp, B * GW), 0)
+                oh = ((jcol // GW == irow)
+                      & (jcol % GW == sel - base)).astype(dt)
+                x_ref[:] = jax.lax.dot_general(
+                    oh, rowbuf[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
             else:
                 # emb = one-hot(code) @ ptab[q] (== codec_embedding_1024)
                 rw = RW
@@ -648,34 +657,47 @@ def frame_codes_fused(
     ngmax = max(H, nq * hd, F) // quant_mod.GROUP4 if int4 else 1
     ymax = max(NQKV, 2 * F, H, CV)
 
-    # direct ptab row gather (see step() in _kernel_body): needs one SMEM
-    # round-trip per step + B row DMAs; worthwhile at decode batches
-    gather = B <= 8 and os.environ.get("QWEN3_TTS_NO_PTAB_GATHER") != "1"
+    # direct ptab row gather (see step() in _kernel_body): B aligned-window
+    # DMAs per step instead of streaming all R rows; worthwhile at decode
+    # batches. Needs R to be window-aligned (make_ptab pads real configs to
+    # a PW multiple; tiny test tables may not align -> fall back to stream).
+    gather = (B <= 8 and R % GW == 0
+              and os.environ.get("QWEN3_TTS_NO_PTAB_GATHER") != "1")
 
     kern = functools.partial(_kernel, cfg=cfg, B=B, Bp=Bp, B8=B8,
                              dense_round=dense_round, ptab_rows=R0,
                              int4=int4, wcap=wcap, resident=resident,
                              kv_res=kv_res, gather=gather)
 
+    # conditional scratch: kv_res configs skip the kbuf/vbuf DMA ping-pong
+    # buffers, gather configs skip the rbuf row-panel stream — both were
+    # dead-but-allocated in r3 inside a budget within ~4 MB of the physical
+    # VMEM cap (ADVICE r3). _kernel unpacks by the same flag order.
     scratch = [
         pltpu.VMEM((Bp, H), dt),                       # x
         pltpu.VMEM((Bp, ymax), jnp.float32),           # y
         pltpu.VMEM((Bp, CV), jnp.float32),             # logits
         pltpu.VMEM((Bp, H), jnp.float32),              # acc
-        pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # kbuf
-        pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # vbuf
         pltpu.VMEM((2, wrows_h, pwh), wqkv.dtype),     # wbuf_h
         pltpu.VMEM((2, wrows_f, pwf), wdown.dtype),    # wbuf_f
         pltpu.VMEM((2, ngmax, pwh), jnp.int8),         # mbuf
-        pltpu.VMEM((2, _pw(R), H), dt),                # rbuf
         pltpu.SemaphoreType.DMA((2,)),                 # wsem
         pltpu.SemaphoreType.DMA((2,)),                 # msem
-        pltpu.SemaphoreType.DMA((2,)),                 # rsem
-        pltpu.SemaphoreType.DMA(()),                   # krsem
-        pltpu.SemaphoreType.DMA(()),                   # vrsem
-        pltpu.SemaphoreType.DMA(()),                   # kwsem
-        pltpu.SemaphoreType.DMA(()),                   # vwsem
     ]
+    if not kv_res:
+        scratch += [
+            pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # kbuf
+            pltpu.VMEM((B8 * nk, T, hd), jnp.float32),     # vbuf
+            pltpu.SemaphoreType.DMA(()),                   # krsem
+            pltpu.SemaphoreType.DMA(()),                   # vrsem
+            pltpu.SemaphoreType.DMA(()),                   # kwsem
+            pltpu.SemaphoreType.DMA(()),                   # vwsem
+        ]
+    if not gather:
+        scratch += [
+            pltpu.VMEM((2, _pw(R), H), dt),                # rbuf
+            pltpu.SemaphoreType.DMA((2,)),                 # rsem
+        ]
     if resident:
         scratch += [
             pltpu.VMEM((L, H, NQKV), jnp.int8),        # rw_qkv
@@ -695,7 +717,7 @@ def frame_codes_fused(
         vmem_limit += kv_bytes
     if gather:
         scratch += [
-            pltpu.VMEM((Bp, H), dt),                       # rowbuf
+            pltpu.VMEM((B * GW, H), dt),                   # rowbuf
             pltpu.SemaphoreType.DMA((B,)),                 # rowsem
         ]
 
@@ -760,32 +782,31 @@ def _kernel(e01, cos, sin, ln1, ln2, qn, kn, fnorm,
             codes, cache_out, *scr,
             cfg, B, Bp, B8, dense_round, ptab_rows, int4, wcap, resident,
             kv_res, gather):
-    (x, y, logits, acc, kbuf, vbuf, wbuf_h, wbuf_f, mbuf, rbuf,
-     wsem, msem, rsem, krsem, vrsem, kwsem, vwsem) = scr[:17]
     refs = dict(
         e01=e01, cos=cos, sin=sin, ln1=ln1, ln2=ln2, qn=qn, kn=kn,
         fnorm=fnorm, sc_qkv=sc_qkv, sc_wo=sc_wo, sc_gu=sc_gu,
         sc_down=sc_down, sc_head=sc_head, wqkv=wqkv, wo=wo, wgu=wgu,
         wdown=wdown, whead=whead,
         m_qkv=m_qkv, m_wo=m_wo, m_gu=m_gu, m_down=m_down, m_head=m_head,
-        ptab=ptab, cache_out=cache_out,
-        codes=codes, x=x, y=y, logits=logits, acc=acc, kbuf=kbuf,
-        vbuf=vbuf, wbuf_h=wbuf_h, wbuf_f=wbuf_f, mbuf=mbuf, rbuf=rbuf,
-        wsem=wsem, msem=msem,
-        rsem=rsem, krsem=krsem, vrsem=vrsem, kwsem=kwsem, vwsem=vwsem,
+        ptab=ptab, cache_out=cache_out, codes=codes,
     )
-    extra = list(scr[17:])
+    # unpack scratch in the exact order frame_codes_fused builds it
+    names = ["x", "y", "logits", "acc", "wbuf_h", "wbuf_f", "mbuf",
+             "wsem", "msem"]
+    if not kv_res:
+        names += ["kbuf", "vbuf", "krsem", "vrsem", "kwsem", "vwsem"]
+    if not gather:
+        names += ["rbuf", "rsem"]
     if resident:
-        (refs["rw_qkv"], refs["rw_o"], refs["rw_gu"], refs["rw_down"],
-         refs["rwsem"]) = extra[:5]
-        extra = extra[5:]
+        names += ["rw_qkv", "rw_o", "rw_gu", "rw_down", "rwsem"]
     if kv_res:
-        refs["kres"], refs["vres"] = extra[:2]
-        extra = extra[2:]
+        names += ["kres", "vres"]
     if gather:
-        refs["rowbuf"], refs["rowsem"] = extra
-    _kernel_body(cfg, B, dense_round, ptab_rows, int4, wcap, resident,
-                 kv_res, refs)
+        names += ["rowbuf", "rowsem"]
+    assert len(names) == len(scr)
+    refs.update(zip(names, scr))
+    _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
+                 kv_res, gather, refs)
 
 
 def make_ptab(assets, cfg):

@@ -104,17 +104,23 @@ def _frame_body(
     top_k: int,
     state: GenState,
     fused_rows: int = 0,
+    ignore_eos: bool = False,
 ) -> Tuple[GenState, jax.Array, jax.Array]:
     """One frame: sample code_0 -> predictor expand -> feedback decode.
 
     Returns (new_state, frame_codes [B,16], newly_active [B] bool mask of rows
     that emitted a real frame this step).
+
+    `ignore_eos` (benchmarking only): never stop on an EOS code_0, so every
+    run covers exactly `max_steps` frames — with random weights EOS fires at
+    random steps and "median ms/frame" would mix different program extents
+    (VERDICT r3 #5). Production paths keep the reference EOS semantics.
     """
     key, sub = jax.random.split(state["key"])
     code0 = _sample_code0(
         state["logits"], sub, state["temperature"], top_k, state["top_p"]
     )
-    eos = _is_eos(code0)
+    eos = jnp.zeros_like(code0, dtype=bool) if ignore_eos else _is_eos(code0)
     # context cap (reference n_ctx, src/tts/engine.rs:133): a frame needs a
     # cache slot for its feedback token — rows whose next write position is
     # past the cache stop cleanly instead of clamp-corrupting the last slot.
@@ -186,7 +192,8 @@ def init_state(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "talker_cfg", "pred_cfg", "top_k", "max_steps", "fused_rows"),
+        "talker_cfg", "pred_cfg", "top_k", "max_steps", "fused_rows",
+        "ignore_eos"),
 )
 def generate_codes(
     models: Dict[str, Any],
@@ -200,6 +207,7 @@ def generate_codes(
     top_p: float,
     max_steps: int,
     fused_rows: int = 0,
+    ignore_eos: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused offline generation: whole loop on device.
 
@@ -220,7 +228,8 @@ def generate_codes(
         state, buf = carry
         step = state["step"]
         state, codes, active = _frame_body(
-            models, talker_cfg, pred_cfg, top_k, state, fused_rows
+            models, talker_cfg, pred_cfg, top_k, state, fused_rows,
+            ignore_eos,
         )
         buf = jax.lax.dynamic_update_slice(
             buf, codes[:, None], (jnp.int32(0), step, jnp.int32(0))

@@ -141,6 +141,35 @@ def test_make_ptab_matches_codec_embedding_1024():
                         atol=1e-6)
 
 
+def test_gather_matches_streamed():
+    """Tile-aligned ptab row gather (aligned GW-row window DMA + one-hot
+    row select, the r4 fix for the Mosaic-illegal 1-row slice of VERDICT r3
+    #1) vs the row-panel streamed path, and both vs the XLA oracle. Needs
+    R % GW == 0: codec_rows=95 pads to exactly 96 rows."""
+    import os
+
+    params, assets, (ptab, rows), key = _setup(CFG, seed=11, codec_rows=95)
+    assert ptab.shape[1] % fused_predictor.GW == 0, ptab.shape
+    kh, kc = jax.random.split(key)
+    h1024 = jax.random.normal(kh, (2, CFG.hidden), jnp.float32)
+    code0 = jnp.array([3, 90], jnp.int32)
+
+    ref = predictor.frame_codes(params, CFG, assets, h1024, code0)
+    got = fused_predictor.frame_codes_fused(
+        params, CFG, ptab, rows, h1024, code0, interpret=True)
+    assert jnp.array_equal(ref, got), (ref, got)
+
+    os.environ["QWEN3_TTS_NO_PTAB_GATHER"] = "1"
+    try:
+        jax.clear_caches()      # the flag is read at trace time
+        stream = fused_predictor.frame_codes_fused(
+            params, CFG, ptab, rows, h1024, code0, interpret=True)
+    finally:
+        del os.environ["QWEN3_TTS_NO_PTAB_GATHER"]
+        jax.clear_caches()
+    assert jnp.array_equal(got, stream), (got, stream)
+
+
 def test_generate_codes_fused_wiring(monkeypatch):
     """generate_codes with fused_rows>0 routes frames through the fused
     kernel (forced eligible + interpret on CPU) and matches the dense path
