@@ -73,7 +73,12 @@ def main() -> int:
             dim=cfg.talker.hidden, proj_dim=cfg.predictor.hidden,
         ),
     }
-    voc_params = vocoder.init_vocoder(k[3], cfg.vocoder)
+    # vocoder: bf16 transformer trunk (vocoder.with_dtype) — the TPU
+    # serving config; f32 stays the ONNX-parity default in EngineConfig
+    import dataclasses
+    voc_cfg = dataclasses.replace(cfg.vocoder, dtype="bfloat16")
+    voc_params = vocoder.with_dtype(
+        vocoder.init_vocoder(k[3], cfg.vocoder), voc_cfg)
     jax.block_until_ready(models)
 
     B, S = 1, 64
@@ -157,8 +162,8 @@ def main() -> int:
                             0.7, 0.9)
             st, codes, active = step_fn(mdl, st)
             wav, _, _ = vocoder.decode(
-                voc_params, cfg.vocoder, codes[:, :4],
-                vocoder.init_state(cfg.vocoder, 1), False)
+                voc_params, voc_cfg, codes[:, :4],
+                vocoder.init_state(voc_cfg, 1), False)
             return jax.device_get(wav)     # host fetch: audio is deliverable
 
         for i in (0, 1):                   # compile + warm all three programs
@@ -227,17 +232,18 @@ def main() -> int:
         for seed in (seed_base + 80, seed_base + 81):   # compile + warmup
             rnd = jax.random.randint(jax.random.key(seed),
                                      (B, N_STEPS, 16), 0, 2048, jnp.int32)
-            wav, _, _ = vocoder.decode(voc_params, cfg.vocoder, rnd,
-                                       vocoder.init_state(cfg.vocoder, B),
+            wav, _, _ = vocoder.decode(voc_params, voc_cfg, rnd,
+                                       vocoder.init_state(voc_cfg, B),
                                        True)
             jax.block_until_ready(wav)
         voc_times = []
-        for seed in (seed_base + 82, seed_base + 83, seed_base + 84):
+        for seed in (seed_base + 82, seed_base + 83, seed_base + 84,
+                     seed_base + 85, seed_base + 86):
             rnd = jax.random.randint(jax.random.key(seed),
                                      (B, N_STEPS, 16), 0, 2048, jnp.int32)
             t0 = time.perf_counter()
-            wav, _, _ = vocoder.decode(voc_params, cfg.vocoder, rnd,
-                                       vocoder.init_state(cfg.vocoder, B),
+            wav, _, _ = vocoder.decode(voc_params, voc_cfg, rnd,
+                                       vocoder.init_state(voc_cfg, B),
                                        True)
             _ = float(jax.device_get(jnp.sum(wav)))   # hard sync
             voc_times.append(time.perf_counter() - t0)
@@ -278,6 +284,7 @@ def main() -> int:
         "quant": headline,
         f"frame_ms_{headline}": round(frame_ms, 3) if frame_ms else None,
         "vocoder_frame_ms": round(voc_frame_ms, 3),
+        "vocoder_dtype": str(voc_cfg.dtype),
         "first_chunk_ms": round(first_chunk_ms, 1) if first_chunk_ms
         else None,
         "first_chunk_kind": first_chunk_kind,

@@ -116,9 +116,28 @@ def init_state(cfg: VocoderConfig, batch: int) -> VocoderState:
             (batch, cfg.hidden, 2 * cfg.lookahead), jnp.float32),
         conv_history=jnp.zeros(
             (batch, cfg.hidden, cfg.post_conv_kernel - 1), jnp.float32),
-        kv=decoder.init_kv_cache(tcfg, batch, dtype=jnp.float32),
+        # KV follows cfg.dtype: f32 by default (ONNX-parity), bf16 when the
+        # transformer trunk runs bf16 (see with_dtype)
+        kv=decoder.init_kv_cache(tcfg, batch),
         frames_done=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def with_dtype(params: Dict[str, Any], cfg: VocoderConfig) -> Dict[str, Any]:
+    """Cast the transformer trunk to cfg.dtype.
+
+    The trunk carries ~90% of the vocoder FLOPs (8L x 1024h x 4096F over
+    every frame); in f32 it runs at 1/4 MXU rate. bf16 is the TPU serving
+    configuration (pair with dataclasses.replace(cfg, dtype='bfloat16')).
+    The conv stacks / upsampler / carried conv state stay f32: they are a
+    small FLOP share and keep the streaming-contract math unchanged."""
+    dt = jnp.dtype(cfg.dtype)
+    if dt == jnp.float32:
+        return params
+    tr = jax.tree.map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
+        params["transformer"])
+    return dict(params, transformer=tr)
 
 
 def init_vocoder(key: jax.Array, cfg: VocoderConfig,
@@ -293,9 +312,10 @@ def decode(
     kp = cfg.pre_conv_kernel
     new_pre = pre_in[..., -(kp - 1):] if kp > 1 else state.pre_conv_history
 
-    # 3. transformer with carried KV (global positions = frames_done + i)
+    # 3. transformer with carried KV (global positions = frames_done + i);
+    # the trunk runs in cfg.dtype (f32 default; bf16 for TPU serving)
     tcfg = transformer_config(cfg)
-    h_in = jnp.swapaxes(y, 1, 2)                              # [B, N, hidden]
+    h_in = jnp.swapaxes(y, 1, 2).astype(jnp.dtype(cfg.dtype))  # [B,N,hidden]
     pos = state.frames_done[:, None] + jnp.arange(N, dtype=jnp.int32)[None]
     h, _, kv = decoder.forward(
         params["transformer"], tcfg, h_in, pos, state.kv,

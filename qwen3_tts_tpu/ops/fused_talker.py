@@ -481,7 +481,13 @@ def talker_step_fused(
     # VMEM budget (int4 packs two rows per byte AND halves the row count).
     # QWEN3_TTS_TALKER_PANEL overrides the base width (trace-time knob for
     # tools/bench_ablate.py sweeps; production default measured on v5e).
-    pw_base = int(os.environ.get("QWEN3_TTS_TALKER_PANEL", PW))
+    # Trace-time means it is NOT part of the jit cache key: changing it
+    # mid-process needs jax.clear_caches() (ADVICE r3). Malformed values
+    # fall back to PW instead of killing the step.
+    try:
+        pw_base = int(os.environ.get("QWEN3_TTS_TALKER_PANEL", PW))
+    except ValueError:
+        pw_base = PW
     wbytes = jnp.dtype(wqkv.dtype).itemsize
     cap = (2 * pw_base) if int4 else (pw_base if wbytes == 1
                                       else pw_base // 2)

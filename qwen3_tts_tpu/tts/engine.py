@@ -117,6 +117,12 @@ class TtsEngine:
         else:
             raise ValueError("need model_dir or random_weights=True")
 
+        # non-f32 vocoder dtype (the TPU serving config, e.g.
+        # dataclasses.replace(cfg.vocoder, dtype="bfloat16")): cast the
+        # transformer trunk once at load; checkpoints always store f32
+        self.vocoder_params = vocoder.with_dtype(self.vocoder_params,
+                                                 cfg.vocoder)
+
         # speakers dir resolution mirrors src/tts/engine.rs:157-166
         sdir = speakers_dir
         if sdir is None and model_dir is not None:
@@ -190,8 +196,13 @@ class TtsEngine:
                                self.models["talker"])
         checkpoint.save_pytree(os.path.join(out_dir, "predictor.npz"),
                                self.models["predictor"])
-        checkpoint.save_pytree(os.path.join(out_dir, "vocoder.npz"),
-                               self.vocoder_params)
+        # checkpoints always store f32 (a bf16 serving trunk casts back)
+        checkpoint.save_pytree(
+            os.path.join(out_dir, "vocoder.npz"),
+            jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.float32)
+                if jnp.asarray(a).dtype == jnp.bfloat16 else a,
+                self.vocoder_params))
         a = self.models["assets"]
         tensors = {
             "proj.weight": np.asarray(a.proj_weight, np.float32),

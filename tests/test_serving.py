@@ -89,6 +89,22 @@ def test_slot_reuse_many_streams(engine):
         assert r is not None and len(r.samples) > 0
 
 
+def test_sixteen_concurrent_slots(engine):
+    """B=16 — the fused kernels' batch cap (ops/fused_*.py max_b) and the
+    measured serving config (BENCH r4: 177 audio-s/s/chip at batch 16).
+    All 16 admitted at once, all finish, slot count never exceeds 16."""
+    voice = engine.get_speaker("vivian")
+    srv = ServingEngine(engine, max_streams=16)
+    ids = [srv.submit(f"utterance {i}", voice) for i in range(16)]
+    assert all(sid is not None for sid in ids)
+    assert srv.slots.active() == 16
+    assert srv.submit("over capacity", voice) is None
+    srv.run_until_drained()
+    for sid in ids:
+        r = srv.result(sid)
+        assert r is not None and len(r.samples) > 0
+
+
 def test_failed_submission_does_not_poison_batch(engine):
     """A stream whose prompt build fails is reported failed and its slot is
     recycled; other streams are unaffected."""

@@ -68,3 +68,31 @@ def test_fused_predictor_on_device(smoke_report, kind):
     entry = smoke_report.get(f"predictor_{kind}")
     assert isinstance(entry, dict), entry
     assert entry["agree_frac"] >= 0.7, entry
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4"])
+def test_fused_talker_peaked_on_device(smoke_report, kind):
+    """Decisive-logit regime (tools/tpu_smoke.peak_head, VERDICT r3 #4):
+    when top-1/top-2 gaps dwarf quant noise — as in real checkpoints — the
+    fused kernel must agree with the XLA path on essentially every step.
+    Counts pooled across B=1/B=8 (72 samples). Gate 0.93, not 1.0: the
+    talker's fused-vs-XLA bf16 step already differs by ~0.1 in unit-scale
+    logits (flash vs fused attention rounding, documented deviation class),
+    which is ~4% of a boosted top-2 gap — rare near-ties still flip."""
+    agree = total = 0
+    for b in (1, 8):
+        entry = smoke_report.get(f"talker_{kind}_b{b}_peaked")
+        assert isinstance(entry, dict), entry
+        a, t = map(int, entry["argmax_agree"].split("/"))
+        agree += a
+        total += t
+    assert agree / total >= 0.93, (agree, total, kind)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4"])
+def test_fused_predictor_peaked_on_device(smoke_report, kind):
+    """Decisive-logit regime for the 16-codebook frame expansion: near-1.0
+    codes agreement is achievable and asserted (was 0.70 informational)."""
+    entry = smoke_report.get(f"predictor_{kind}_peaked")
+    assert isinstance(entry, dict), entry
+    assert entry["agree_frac"] >= 0.95, entry

@@ -89,6 +89,38 @@ def test_streaming_equals_oneshot(params):
     np.testing.assert_allclose(streamed, one_shot, rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_trunk_matches_f32(params):
+    """bf16 transformer trunk (the TPU serving config, vocoder.with_dtype):
+    same streaming contract, waveform close to f32, chunked==one-shot still
+    holds within bf16 tolerance."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(CFG, dtype="bfloat16")
+    p16 = vocoder.with_dtype(params, cfg16)
+    total = 9
+    codes = _codes(total, seed=5)
+
+    w32, v32, _ = vocoder.decode(params, CFG, codes,
+                                 vocoder.init_state(CFG, 1), True)
+    w16, v16, _ = vocoder.decode(p16, cfg16, codes,
+                                 vocoder.init_state(cfg16, 1), True)
+    assert v32.tolist() == v16.tolist()
+    a = np.asarray(w32)[0, : int(v32[0])]
+    b = np.asarray(w16)[0, : int(v16[0])]
+    # trunk rounding only: waveform deviation stays small relative to scale
+    assert np.max(np.abs(a - b)) < 0.05 * max(np.max(np.abs(a)), 1e-3)
+
+    state = vocoder.init_state(cfg16, 1)
+    chunks = []
+    for start in range(0, total, 4):
+        part = codes[:, start:start + 4]
+        wav, valid, state = vocoder.decode(p16, cfg16, part, state,
+                                           start + 4 >= total)
+        chunks.append(np.asarray(wav)[:, : int(valid[0])])
+    streamed = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(streamed[0], b, rtol=2e-2, atol=2e-3)
+
+
 def test_flush_drains_pending(params):
     """A stream that ends between calls: flush() must emit exactly what an
     is_last submission would have."""

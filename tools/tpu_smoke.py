@@ -11,8 +11,16 @@ compute paths and reports per-step agreement as ONE JSON line on stdout:
 
 Teacher-forced comparison (each step starts from the SAME state) because a
 single near-tie greedy flip would desynchronise free-running sequences —
-per-step agreement is the well-defined metric. Driven by
-tests/test_tpu_smoke.py (skipped off-TPU); also runnable by hand.
+per-step agreement is the well-defined metric.
+
+Two weight regimes per kernel (VERDICT r3 #4):
+  * random: i.i.d. heads make the 2048-way argmax near-tie-degenerate, so
+    agreement is an informational tripwire only (loose thresholds);
+  * peaked: a few head columns are boosted so top-1/top-2 logit gaps dwarf
+    bf16-vs-quant noise — real checkpoints are decisive like this, so
+    agreement ~= 1.0 is achievable and the test gate asserts >= 0.95.
+
+Driven by tests/test_tpu_smoke.py (skipped off-TPU); also runnable by hand.
 """
 
 import json
@@ -20,6 +28,26 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def peak_head(params, slices, seed=0, boost=24.0, n_heavy=4):
+    """Decisive-logit head: scale `n_heavy` random columns per sampled slice
+    by `boost`. The argmax race then runs between n_heavy well-separated
+    candidates (top-2 gap ~ 0.7 sigma of the boosted scale at n_heavy=4)
+    instead of 2048 near-ties, so quantization noise (1-3% relative; noise
+    scales with boost, so the gap/noise ratio is set by n_heavy, not boost)
+    cannot flip it and fused-vs-XLA agreement ~= 1.0 is meaningful. Winners
+    still depend on the input — the full pipeline is exercised, not a
+    constant."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    head = np.array(params["head"], np.float32)
+    rng = np.random.default_rng(seed)
+    for start, width in slices:
+        cols = start + rng.choice(width, n_heavy, replace=False)
+        head[:, cols] *= boost
+    return dict(params, head=jnp.asarray(head, params["head"].dtype))
 
 
 def main() -> int:
@@ -50,6 +78,10 @@ def main() -> int:
     k = jax.random.split(jax.random.key(0), 4)
     params_t = decoder.init_decoder(k[0], tc)
     params_p = decoder.init_decoder(k[1], pc)
+    params_t_pk = peak_head(params_t, [(0, P.TALKER_SAMPLE_LIMIT)])
+    params_p_pk = peak_head(
+        params_p, [(q * P.CODE_VOCAB, P.CODE_VOCAB)
+                   for q in range(P.NUM_CODEBOOKS)])
     assets = tables.random_assets(
         k[2], text_vocab=P.TEXT_VOCAB, codec_rows=3072,
         dim=tc.hidden, proj_dim=pc.hidden)
@@ -58,85 +90,98 @@ def main() -> int:
 
     PREFILL, STEPS = 64, 4
 
-    pt = pp = None
+    def talker_ab(pt, B, tag, steps=STEPS):
+        """Teacher-forced step agreement over `steps` steps at batch B."""
+        if not fused_talker.usable(tc, B, pt):
+            report[tag] = "not usable"
+            return
+        pad = jnp.zeros((B,), jnp.int32)
+        cache = decoder.init_kv_cache(tc, B)
+        x = 0.05 * jax.random.normal(
+            jax.random.key(11), (B, PREFILL, tc.hidden)).astype(dt)
+        pos = jnp.broadcast_to(
+            jnp.arange(PREFILL, dtype=jnp.int32)[None], (B, PREFILL))
+        _, _, cache = jax.block_until_ready(jax.jit(
+            lambda p, x, c: decoder.forward(
+                p, tc, x, pos, c, jnp.int32(0), kv_valid_from=pad)
+        )(pt, x, cache))
+
+        @jax.jit
+        def xla_step(w, fb, slot, cache):
+            h, lg, cache = decoder.forward(
+                w, tc, fb[:, None], (slot - pad)[:, None], cache,
+                jnp.broadcast_to(slot, (B,)), kv_valid_from=pad)
+            return h[:, -1], lg[:, -1], cache
+
+        @jax.jit
+        def fused_step(w, fb, slot, cache):
+            slot_b = jnp.broadcast_to(slot, (B,))
+            h, lg, kc, vc = fused_talker.talker_step_fused(
+                w, tc, fb, slot_b - pad, slot, slot_b, pad,
+                cache["k"], cache["v"])
+            return h, lg, {"k": kc, "v": vc}
+
+        agree = total = 0
+        dmax = 0.0
+        fb = 0.05 * jax.random.normal(
+            jax.random.key(12), (B, tc.hidden)).astype(dt)
+        for s in range(steps):
+            slot = jnp.int32(PREFILL + s)
+            rh, rl, ncache = xla_step(pt, fb, slot, cache)
+            fh, fl, _ = fused_step(pt, fb, slot, cache)
+            lim = P.TALKER_SAMPLE_LIMIT
+            agree += int(jnp.sum(jnp.argmax(rl[:, :lim], -1)
+                                 == jnp.argmax(fl[:, :lim], -1)))
+            total += B
+            dmax = max(dmax, float(jnp.abs(rl - fl).max()))
+            cache = ncache                    # teacher forcing: XLA state
+            fb = (0.9 * fb.astype(jnp.float32)
+                  + 0.1 * rh.astype(jnp.float32)).astype(dt)
+        report[tag] = {
+            "argmax_agree": f"{agree}/{total}",
+            "agree_frac": agree / total,
+            "max_dlogits": round(dmax, 4),
+        }
+
+    def pred_ab(pp, tag):
+        """Per-frame codes agreement over STEPS frames (same inputs)."""
+        if not fused_predictor.usable(pc, 1, pp):
+            report[tag] = "not usable"
+            return
+        agree = total = 0
+        for s in range(STEPS):
+            ks = jax.random.split(jax.random.key(100 + s), 2)
+            h1024 = jax.random.normal(ks[0], (1, pc.hidden), jnp.float32)
+            code0 = jax.random.randint(ks[1], (1,), 0, 2048, jnp.int32)
+            ref = predictor.frame_codes(pp, pc, assets, h1024, code0)
+            got = fused_predictor.frame_codes_fused(
+                pp, pc, ptab, rows, h1024, code0)
+            agree += int(jnp.sum(ref == got))
+            total += ref.size
+        report[tag] = {
+            "codes_agree": f"{agree}/{total}",
+            "agree_frac": agree / total,
+        }
+
+    prev = ()
     for kind in ("int8", "int4"):
-        del pt, pp                    # free the previous kind's HBM first
+        del prev                      # free the previous kind's HBM first
         pt = quant.quantize_decoder_params(params_t, kind=kind)
         pp = quant.quantize_decoder_params(params_p, kind=kind)
-        jax.block_until_ready((pt, pp))
+        pt_pk = quant.quantize_decoder_params(params_t_pk, kind=kind)
+        pp_pk = quant.quantize_decoder_params(params_p_pk, kind=kind)
+        prev = (pt, pp, pt_pk, pp_pk)
+        jax.block_until_ready(prev)
 
-        # ---- talker: teacher-forced step agreement over STEPS steps ----
         for B in (1, 2, 8):
-            if not fused_talker.usable(tc, B, pt):
-                report[f"talker_{kind}_b{B}"] = "not usable"
-                continue
-            pad = jnp.zeros((B,), jnp.int32)
-            cache = decoder.init_kv_cache(tc, B)
-            x = 0.05 * jax.random.normal(
-                jax.random.key(11), (B, PREFILL, tc.hidden)).astype(dt)
-            pos = jnp.broadcast_to(
-                jnp.arange(PREFILL, dtype=jnp.int32)[None], (B, PREFILL))
-            _, _, cache = jax.block_until_ready(jax.jit(
-                lambda p, x, c: decoder.forward(
-                    p, tc, x, pos, c, jnp.int32(0), kv_valid_from=pad)
-            )(pt, x, cache))
+            talker_ab(pt, B, f"talker_{kind}_b{B}")
+        # peaked regime: same shapes (programs already compiled), decisive
+        # logits -> asserted >= 0.95 in tests/test_tpu_smoke.py
+        talker_ab(pt_pk, 1, f"talker_{kind}_b1_peaked", steps=2 * STEPS)
+        talker_ab(pt_pk, 8, f"talker_{kind}_b8_peaked", steps=2 * STEPS)
 
-            @jax.jit
-            def xla_step(w, fb, slot, cache):
-                h, lg, cache = decoder.forward(
-                    w, tc, fb[:, None], (slot - pad)[:, None], cache,
-                    jnp.broadcast_to(slot, (B,)), kv_valid_from=pad)
-                return h[:, -1], lg[:, -1], cache
-
-            @jax.jit
-            def fused_step(w, fb, slot, cache):
-                slot_b = jnp.broadcast_to(slot, (B,))
-                h, lg, kc, vc = fused_talker.talker_step_fused(
-                    w, tc, fb, slot_b - pad, slot, slot_b, pad,
-                    cache["k"], cache["v"])
-                return h, lg, {"k": kc, "v": vc}
-
-            agree = total = 0
-            dmax = 0.0
-            fb = 0.05 * jax.random.normal(
-                jax.random.key(12), (B, tc.hidden)).astype(dt)
-            for s in range(STEPS):
-                slot = jnp.int32(PREFILL + s)
-                rh, rl, ncache = xla_step(pt, fb, slot, cache)
-                fh, fl, _ = fused_step(pt, fb, slot, cache)
-                agree += int(jnp.sum(jnp.argmax(rl[:, :P.TALKER_SAMPLE_LIMIT],
-                                                -1)
-                                     == jnp.argmax(fl[:, :P.TALKER_SAMPLE_LIMIT],
-                                                   -1)))
-                total += B
-                dmax = max(dmax, float(jnp.abs(rl - fl).max()))
-                cache = ncache                    # teacher forcing: XLA state
-                fb = (0.9 * fb.astype(jnp.float32)
-                      + 0.1 * rh.astype(jnp.float32)).astype(dt)
-            report[f"talker_{kind}_b{B}"] = {
-                "argmax_agree": f"{agree}/{total}",
-                "agree_frac": agree / total,
-                "max_dlogits": round(dmax, 4),
-            }
-
-        # ---- predictor: frame-codes agreement over STEPS frames ----
-        if fused_predictor.usable(pc, 1, pp):
-            agree = total = 0
-            for s in range(STEPS):
-                ks = jax.random.split(jax.random.key(100 + s), 2)
-                h1024 = jax.random.normal(ks[0], (1, pc.hidden), jnp.float32)
-                code0 = jax.random.randint(ks[1], (1,), 0, 2048, jnp.int32)
-                ref = predictor.frame_codes(pp, pc, assets, h1024, code0)
-                got = fused_predictor.frame_codes_fused(
-                    pp, pc, ptab, rows, h1024, code0)
-                agree += int(jnp.sum(ref == got))
-                total += ref.size
-            report[f"predictor_{kind}"] = {
-                "codes_agree": f"{agree}/{total}",
-                "agree_frac": agree / total,
-            }
-        else:
-            report[f"predictor_{kind}"] = "not usable"
+        pred_ab(pp, f"predictor_{kind}")
+        pred_ab(pp_pk, f"predictor_{kind}_peaked")
 
     print(json.dumps(report), flush=True)
     return 0
