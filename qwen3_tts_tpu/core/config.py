@@ -124,6 +124,11 @@ class VocoderConfig:
                                 # long-text max-steps=1024 config)
     rms_eps: float = 1e-6
     dtype: str = "float32"
+    # conv-stack / upsampler activation. "gelu" is the derived architecture;
+    # "snake" (x + sin^2(alpha*x)/alpha, per-channel alpha — the BigVGAN-
+    # family codec activation) is supported end-to-end (init, decode,
+    # ONNX conversion) in case the real release uses it
+    activation: str = "gelu"
 
 
 @dataclasses.dataclass(frozen=True)

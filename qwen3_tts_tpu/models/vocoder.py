@@ -148,13 +148,22 @@ def init_vocoder(key: jax.Array, cfg: VocoderConfig,
     def w(k, shape):
         return (scale * jax.random.normal(k, shape)).astype(jnp.float32)
 
+    snake = cfg.activation == "snake"
+
+    def alpha(c):
+        # snake alphas init to 1.0 (checkpoints overwrite); per channel
+        return {"alpha": jnp.ones((c,), jnp.float32)} if snake else {}
+
     chans = _upsample_channels(cfg)
     up = []
+    n = len(cfg.upsample_factors)
     for i, s in enumerate(cfg.upsample_factors):
         c_in, c_out = chans[i], chans[i + 1]
         up.append({
             "w": w(ks[6 + i], (c_in, s * c_out)),
             "b": jnp.zeros((s * c_out,), jnp.float32),
+            # last stage is tanh (waveform head) in both activation modes
+            **(alpha(c_out) if i < n - 1 else {}),
         })
     la = cfg.lookahead
     return {
@@ -162,16 +171,19 @@ def init_vocoder(key: jax.Array, cfg: VocoderConfig,
         "pre_conv": {
             "w": w(ks[1], (cfg.hidden, cfg.embed_dim, cfg.pre_conv_kernel)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
+            **alpha(cfg.hidden),
         },
         "transformer": decoder.init_decoder(ks[2], transformer_config(cfg),
                                             scale),
         "post_a": {   # centered conv: LA left context + LA lookahead
             "w": w(ks[3], (cfg.hidden, cfg.hidden, 2 * la + 1)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
+            **alpha(cfg.hidden),
         },
         "post_b": {   # causal conv
             "w": w(ks[4], (cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
+            **alpha(cfg.hidden),
         },
         "up": up,
     }
@@ -196,6 +208,20 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     ) + b[None, :, None]
 
 
+def _act(cfg: VocoderConfig, entry: Dict[str, Any], x: jax.Array,
+         channel_axis: int) -> jax.Array:
+    """Conv-stack activation: gelu (derived default) or per-channel snake
+    x + sin^2(alpha*x)/alpha (zero-preserving, like gelu, so the zero-pad
+    stream-start semantics are unchanged)."""
+    if cfg.activation != "snake":
+        return jax.nn.gelu(x)
+    shape = [1] * x.ndim
+    shape[channel_axis] = -1
+    a = entry["alpha"].reshape(shape)
+    s = jnp.sin(a * x)
+    return x + s * s / a
+
+
 def _upsample(params, cfg: VocoderConfig, lat: jax.Array) -> jax.Array:
     """Frame-local upsampler: [B, M, hidden] -> [B, M*2000] waveform.
 
@@ -210,7 +236,7 @@ def _upsample(params, cfg: VocoderConfig, lat: jax.Array) -> jax.Array:
         z = z @ stage["w"] + stage["b"]              # [B, T, s*C_out]
         c_out = stage["w"].shape[1] // s
         z = z.reshape(B, z.shape[1] * s, c_out)
-        z = jnp.tanh(z) if i == n - 1 else jax.nn.gelu(z)
+        z = jnp.tanh(z) if i == n - 1 else _act(cfg, stage, z, 2)
     return z[..., 0]                                 # [B, M*2000]
 
 
@@ -235,8 +261,9 @@ def _post_stage(
     a_in = jnp.concatenate(
         [state.latent_buffer, hc, jnp.zeros((B, H, la), jnp.float32)],
         axis=-1)
-    a_out = jax.nn.gelu(_conv1d(a_in, params["post_a"]["w"],
-                                params["post_a"]["b"]))       # [B,H,N+LA]
+    a_out = _act(cfg, params["post_a"],
+                 _conv1d(a_in, params["post_a"]["w"],
+                         params["post_a"]["b"]), 1)           # [B,H,N+LA]
     # zero outputs at negative global indices: they are artifacts of the
     # rolling window at stream start — one-shot decoding has no such
     # positions, and conv_b's left context there must be the zero pad
@@ -244,8 +271,9 @@ def _post_stage(
     a_out = jnp.where((g >= 0)[:, None, :], a_out, 0.0)
 
     b_in = jnp.concatenate([state.conv_history, a_out], axis=-1)
-    b_out = jax.nn.gelu(_conv1d(b_in, params["post_b"]["w"],
-                                params["post_b"]["b"]))       # [B,H,N+LA]
+    b_out = _act(cfg, params["post_b"],
+                 _conv1d(b_in, params["post_b"]["w"],
+                         params["post_b"]["b"]), 1)           # [B,H,N+LA]
 
     # per-row left-alignment: computed outputs start at global fd-LA, but
     # emission starts at max(fd-LA, 0) — shift off the first
@@ -307,8 +335,9 @@ def decode(
     # 2. causal pre-conv over frames (channels-first)
     xc = jnp.swapaxes(x, 1, 2)                                # [B, E, N]
     pre_in = jnp.concatenate([state.pre_conv_history, xc], axis=-1)
-    y = jax.nn.gelu(_conv1d(pre_in, params["pre_conv"]["w"],
-                            params["pre_conv"]["b"]))
+    y = _act(cfg, params["pre_conv"],
+             _conv1d(pre_in, params["pre_conv"]["w"],
+                     params["pre_conv"]["b"]), 1)
     kp = cfg.pre_conv_kernel
     new_pre = pre_in[..., -(kp - 1):] if kp > 1 else state.pre_conv_history
 

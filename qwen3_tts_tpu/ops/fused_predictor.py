@@ -168,11 +168,13 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
             # dominated (>2k panel iterations per frame at pw=512). Output
             # columns are independent, so the result is bit-identical to
             # the panel-streamed evaluation for any column partition.
-            acc = jax.lax.dot_general(
+            # Returned as a VALUE (not via y_ref): the kernel floor is
+            # op-latency-bound (~12 us/layer-pass measured r4), and the
+            # store+reload of a [Bp, N] f32 through VMEM scratch per matmul
+            # is pure serial latency — f32 either way, so bit-identical.
+            return jax.lax.dot_general(
                 x_dt, res[...].astype(dt), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            y_ref[:, pl.ds(0, N)] = acc
-            return
         is4 = m_hbm is not None
         rows = K // 2 if is4 else K
         exact = buf.shape[1] == rows and buf.shape[2] == pw
@@ -304,6 +306,15 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
         sin_r = refs["sin"][pl.ds(pos, 1), :]
 
         def layer(l, _):
+            if resident:
+                # first pass only: this layer's resident weights must have
+                # landed (waits exactly once per (kind, layer) semaphore)
+                @pl.when(pos == 0)
+                def _():
+                    for i, (src, dst) in enumerate(res_pairs):
+                        pltpu.make_async_copy(
+                            src.at[l], dst.at[l],
+                            refs["rwsem"].at[i, l]).wait()
             if not kv_res:
                 # The pending write-back (previous layer's, or for layer 0
                 # the previous token's last layer) reads kbuf/vbuf; it must
@@ -321,12 +332,15 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
 
             xv = x_ref[:]
             a = rms2(xv, refs["ln1"][pl.ds(l, 1), :])
+            acc = None
             if "qkv" not in ablate:
-                stream_matmul(a, refs["wqkv"].at[l], wbuf_h, H, NQKV,
-                              m_hbm=refs["m_qkv"].at[l] if int4 else None,
-                              res=refs["rw_qkv"].at[l] if resident else None)
-            qkv = (y_ref[:, pl.ds(0, NQKV)]
-                   * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
+                acc = stream_matmul(
+                    a, refs["wqkv"].at[l], wbuf_h, H, NQKV,
+                    m_hbm=refs["m_qkv"].at[l] if int4 else None,
+                    res=refs["rw_qkv"].at[l] if resident else None)
+            if acc is None:              # streamed path wrote y_ref
+                acc = y_ref[:, pl.ds(0, NQKV)]
+            qkv = (acc * refs["sc_qkv"][pl.ds(l, 1), :]).astype(dt)
             q3 = qkv[:, : nq * hd].reshape(Bp, nq, hd)
             k3 = qkv[:, nq * hd: (nq + nk) * hd].reshape(Bp, nk, hd)
             v3 = qkv[:, (nq + nk) * hd:].reshape(Bp, nk, hd)
@@ -365,32 +379,40 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
                     pos, nB=B)
             else:
                 attn = attention(q3, kbuf[:], vbuf[:], pos)
+            acc = None
             if "wo" not in ablate:
-                stream_matmul(attn, refs["wo"].at[l], wbuf_h, nq * hd, H,
-                              m_hbm=refs["m_wo"].at[l] if int4 else None,
-                              res=refs["rw_o"].at[l] if resident else None)
-            wo_out = (y_ref[:, pl.ds(0, H)]
-                      * refs["sc_wo"][pl.ds(l, 1), :]).astype(dt)
+                acc = stream_matmul(
+                    attn, refs["wo"].at[l], wbuf_h, nq * hd, H,
+                    m_hbm=refs["m_wo"].at[l] if int4 else None,
+                    res=refs["rw_o"].at[l] if resident else None)
+            if acc is None:
+                acc = y_ref[:, pl.ds(0, H)]
+            wo_out = (acc * refs["sc_wo"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = xv + wo_out
 
             m = rms2(x_ref[:], refs["ln2"][pl.ds(l, 1), :])
+            acc = None
             if "mlp" not in ablate:
-                stream_matmul(m, refs["wgu"].at[l], wbuf_h, H, 2 * F,
-                              m_hbm=refs["m_gu"].at[l] if int4 else None,
-                              res=refs["rw_gu"].at[l] if resident else None)
-            gu = (y_ref[:, pl.ds(0, 2 * F)]
-                  * refs["sc_gu"][pl.ds(l, 1), :]).astype(dt)
+                acc = stream_matmul(
+                    m, refs["wgu"].at[l], wbuf_h, H, 2 * F,
+                    m_hbm=refs["m_gu"].at[l] if int4 else None,
+                    res=refs["rw_gu"].at[l] if resident else None)
+            if acc is None:
+                acc = y_ref[:, pl.ds(0, 2 * F)]
+            gu = (acc * refs["sc_gu"][pl.ds(l, 1), :]).astype(dt)
             # explicit silu: jax.nn.silu on bf16 trips a Mosaic verifier bug
             # (f32 scalar broadcast into a bf16 vector)
             g = gu[:, :F].astype(jnp.float32)
             act = (g / (1.0 + jnp.exp(-g))).astype(dt) * gu[:, F:]
+            acc = None
             if "mlp" not in ablate:
-                stream_matmul(act, refs["wdown"].at[l], wbuf_f, F, H,
-                              m_hbm=refs["m_down"].at[l] if int4 else None,
-                              res=refs["rw_down"].at[l] if resident
-                              else None)
-            dn = (y_ref[:, pl.ds(0, H)]
-                  * refs["sc_down"][pl.ds(l, 1), :]).astype(dt)
+                acc = stream_matmul(
+                    act, refs["wdown"].at[l], wbuf_f, F, H,
+                    m_hbm=refs["m_down"].at[l] if int4 else None,
+                    res=refs["rw_down"].at[l] if resident else None)
+            if acc is None:
+                acc = y_ref[:, pl.ds(0, H)]
+            dn = (acc * refs["sc_down"][pl.ds(l, 1), :]).astype(dt)
             x_ref[:] = x_ref[:] + dn
             return ()
 
@@ -419,19 +441,20 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
     # ---- frame expansion ----
     if resident:
         # stage the whole int8 layer stack HBM -> VMEM once (~109 MB,
-        # ~0.13 ms); every micro-step then reads weights at VMEM bandwidth
-        stages = [
+        # ~0.13 ms of DMA); every micro-step then reads weights at VMEM
+        # bandwidth. Staged per (kind, layer) with the WAIT deferred to the
+        # layer's first use (pos==0 pass), so layer 0's compute overlaps
+        # layers 1..L-1 still streaming in.
+        res_pairs = [
             (refs["wqkv"], refs["rw_qkv"]),
             (refs["wo"], refs["rw_o"]),
             (refs["wgu"], refs["rw_gu"]),
             (refs["wdown"], refs["rw_down"]),
         ]
-        copies = [pltpu.make_async_copy(src, dst, refs["rwsem"].at[i])
-                  for i, (src, dst) in enumerate(stages)]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        for i, (src, dst) in enumerate(res_pairs):
+            for l0 in range(L):
+                pltpu.make_async_copy(
+                    src.at[l0], dst.at[l0], refs["rwsem"].at[i, l0]).start()
 
     out_codes[:] = jnp.zeros(out_codes.shape, jnp.int32)
     if kv_res:
@@ -704,7 +727,7 @@ def frame_codes_fused(
             pltpu.VMEM((L, nq * hd, H), jnp.int8),     # rw_o
             pltpu.VMEM((L, H, 2 * F), jnp.int8),       # rw_gu
             pltpu.VMEM((L, F, H), jnp.int8),           # rw_down
-            pltpu.SemaphoreType.DMA((4,)),             # rwsem
+            pltpu.SemaphoreType.DMA((4, L)),           # rwsem (per kind+layer)
         ]
         vmem_limit = _resident_bytes(cfg) + VMEM_FIXED
     else:

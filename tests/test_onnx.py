@@ -255,6 +255,36 @@ def test_vocoder_residual_conv_detected(tmp_path, params):
         cw.convert_vocoder_onnx(path, CFG)
 
 
+@pytest.mark.parametrize("anonymize", [False, True])
+def test_vocoder_snake_roundtrip(tmp_path, anonymize):
+    """cfg.activation='snake': the fixture graph carries Sin subgraphs and
+    per-channel alphas; both converter paths (named + structural) recover
+    the exact pytree and validation reports snake as verified."""
+    import dataclasses
+
+    scfg = dataclasses.replace(CFG, activation="snake")
+    p = jax.tree.map(np.asarray,
+                     vocoder.init_vocoder(jax.random.key(3), scfg))
+    p["transformer"]["head"] = np.zeros_like(p["transformer"]["head"])
+    # non-trivial alphas so a wrong assignment cannot pass
+    rng = np.random.default_rng(5)
+    for entry in [p["pre_conv"], p["post_a"], p["post_b"]] + p["up"][:-1]:
+        entry["alpha"] = (0.5 + rng.random(entry["alpha"].shape)
+                          ).astype(np.float32)
+
+    path = str(tmp_path / "snake_rt.onnx")
+    cw.write_vocoder_onnx(path, p, scfg, anonymize=anonymize)
+    report = cw.validate_vocoder_onnx(onnx.read_model(path), scfg)
+    assert report["act.snake"].startswith("verified (snake"), report
+    got = cw.convert_vocoder_onnx(path, scfg)
+    _assert_tree_equal(p, got)
+
+    # same snake graph converted under the gelu-derived config still fails
+    # loudly (the detection test's contract)
+    with pytest.raises(cw.OnnxConversionError, match="act.snake"):
+        cw.convert_vocoder_onnx(path, CFG)
+
+
 def test_structural_failure_names_subgraph(tmp_path, params):
     """An unfoldable conv-weight subgraph fails with the producer op chain
     and a per-initializer diagnosis, not a bare KeyError."""

@@ -121,6 +121,52 @@ def test_bf16_trunk_matches_f32(params):
     np.testing.assert_allclose(streamed[0], b, rtol=2e-2, atol=2e-3)
 
 
+def test_snake_activation_variant():
+    """cfg.activation='snake' (x + sin^2(alpha*x)/alpha, per-channel): the
+    streaming contract (chunked == one-shot, valid_samples) holds
+    unchanged, and the activation is verifiably snake, not gelu."""
+    import dataclasses
+
+    scfg = dataclasses.replace(CFG, activation="snake")
+    p = vocoder.init_vocoder(jax.random.key(2), scfg)
+    assert "alpha" in p["pre_conv"] and "alpha" in p["up"][0]
+    assert "alpha" not in p["up"][-1]          # waveform head stays tanh
+
+    # closed-form check of the helper itself
+    x = jnp.asarray(np.linspace(-2, 2, 8), jnp.float32).reshape(1, 1, 8)
+    entry = {"alpha": jnp.asarray([0.5], jnp.float32)}
+    got = vocoder._act(scfg, entry, x, 1)
+    want = np.asarray(x) + np.sin(0.5 * np.asarray(x)) ** 2 / 0.5
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+    total = 9
+    codes = _codes(total, seed=7)
+    one, v, _ = vocoder.decode(p, scfg, codes,
+                               vocoder.init_state(scfg, 1), True)
+    one = np.asarray(one)[:, : int(v[0])]
+    assert one.shape[1] == total * F
+
+    state = vocoder.init_state(scfg, 1)
+    chunks = []
+    for start in range(0, total, 4):
+        part = codes[:, start:start + 4]
+        wav, valid, state = vocoder.decode(p, scfg, part, state,
+                                           start + 4 >= total)
+        chunks.append(np.asarray(wav)[:, : int(valid[0])])
+    streamed = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(streamed, one, rtol=1e-5, atol=1e-5)
+
+    # differs from the gelu interpretation of the same weights
+    gelu_like = {k: ({kk: vv for kk, vv in val.items() if kk != "alpha"}
+                     if isinstance(val, dict) and "alpha" in val else val)
+                 for k, val in p.items()}
+    gelu_like["up"] = [{kk: vv for kk, vv in st.items() if kk != "alpha"}
+                       for st in p["up"]]
+    g, vg, _ = vocoder.decode(gelu_like, CFG, codes,
+                              vocoder.init_state(CFG, 1), True)
+    assert not np.allclose(np.asarray(g)[:, : int(vg[0])], one)
+
+
 def test_flush_drains_pending(params):
     """A stream that ends between calls: flush() must emit exactly what an
     is_last submission would have."""

@@ -95,6 +95,10 @@ def convert_vocoder_state_dict(sd: Dict[str, np.ndarray],
             axis=1))
         layers["w_down"].append(T(p + "mlp.down_proj.weight"))
 
+    def maybe_alpha(key):
+        # snake activation (cfg.activation == "snake"): per-channel alphas
+        return ({"alpha": raw(key)} if key in sd else {})
+
     up = []
     for i, s in enumerate(cfg.upsample_factors):
         w = np.asarray(sd[f"decoder.upsample.{i}.weight"], np.float32)
@@ -105,12 +109,14 @@ def convert_vocoder_state_dict(sd: Dict[str, np.ndarray],
                 w.transpose(0, 2, 1).reshape(c_in, s * c_out)),
             "b": np.tile(np.asarray(sd[f"decoder.upsample.{i}.bias"],
                                     np.float32), s),
+            **maybe_alpha(f"decoder.upsample.{i}.alpha"),
         })
 
     return {
         "embed": embed,
         "pre_conv": {"w": raw("decoder.pre_conv.weight"),
-                     "b": raw("decoder.pre_conv.bias")},
+                     "b": raw("decoder.pre_conv.bias"),
+                     **maybe_alpha("decoder.pre_conv.alpha")},
         "transformer": {
             "layers": {k: np.stack(v) for k, v in layers.items()},
             "final_norm": raw("decoder.norm.weight"),
@@ -118,9 +124,11 @@ def convert_vocoder_state_dict(sd: Dict[str, np.ndarray],
             "head": np.zeros((cfg.hidden, 8), np.float32),
         },
         "post_a": {"w": raw("decoder.post_conv1.weight"),
-                   "b": raw("decoder.post_conv1.bias")},
+                   "b": raw("decoder.post_conv1.bias"),
+                   **maybe_alpha("decoder.post_conv1.alpha")},
         "post_b": {"w": raw("decoder.post_conv2.weight"),
-                   "b": raw("decoder.post_conv2.bias")},
+                   "b": raw("decoder.post_conv2.bias"),
+                   **maybe_alpha("decoder.post_conv2.alpha")},
         "up": up,
     }
 
@@ -137,6 +145,12 @@ def export_vocoder_state_dict(params: Dict[str, Any],
             params["embed"][q])
     sd["decoder.pre_conv.weight"] = np.asarray(params["pre_conv"]["w"])
     sd["decoder.pre_conv.bias"] = np.asarray(params["pre_conv"]["b"])
+
+    def put_alpha(key, entry):
+        if "alpha" in entry:            # snake activation
+            sd[key] = np.asarray(entry["alpha"])
+
+    put_alpha("decoder.pre_conv.alpha", params["pre_conv"])
     lw = params["transformer"]["layers"]
     nq_hd = cfg.n_heads * cfg.head_dim
     for i in range(cfg.n_layers):
@@ -158,8 +172,10 @@ def export_vocoder_state_dict(params: Dict[str, Any],
     sd["decoder.norm.weight"] = np.asarray(params["transformer"]["final_norm"])
     sd["decoder.post_conv1.weight"] = np.asarray(params["post_a"]["w"])
     sd["decoder.post_conv1.bias"] = np.asarray(params["post_a"]["b"])
+    put_alpha("decoder.post_conv1.alpha", params["post_a"])
     sd["decoder.post_conv2.weight"] = np.asarray(params["post_b"]["w"])
     sd["decoder.post_conv2.bias"] = np.asarray(params["post_b"]["b"])
+    put_alpha("decoder.post_conv2.alpha", params["post_b"])
     for i, s in enumerate(cfg.upsample_factors):
         w2 = np.asarray(params["up"][i]["w"])          # [C_in, s*C_out]
         c_in = w2.shape[0]
@@ -168,6 +184,7 @@ def export_vocoder_state_dict(params: Dict[str, Any],
             w2.reshape(c_in, s, c_out).transpose(0, 2, 1))
         sd[f"decoder.upsample.{i}.bias"] = np.asarray(
             params["up"][i]["b"])[:c_out]
+        put_alpha(f"decoder.upsample.{i}.alpha", params["up"][i])
     return sd
 
 
@@ -551,7 +568,8 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
     # its alpha initializers precisely so a real-release mismatch is
     # actionable (VERDICT r3 #6).
     sins = [n for n in model.nodes if n.op_type == "Sin"]
-    if sins:
+    snake_cfg = getattr(cfg, "activation", "gelu") == "snake"
+    if sins and not snake_cfg:
         prod0 = _producers(model)
         uses0 = _consumers(model)
         region = _snake_region(model, prod0, uses0)
@@ -560,8 +578,13 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
                          if id(n) in region})
         r["act.snake"] = (
             f"mismatch: {len(sins)} Sin node(s) — snake-style activation "
-            f"not in the derived architecture; alpha initializer(s): "
-            f"{alphas[:8]}")
+            f"not in the derived architecture (set cfg.activation='snake' "
+            f"to convert); alpha initializer(s): {alphas[:8]}")
+    elif snake_cfg and not sins:
+        r["act.snake"] = ("mismatch: cfg.activation='snake' but the graph "
+                          "has no Sin nodes")
+    elif snake_cfg:
+        r["act.snake"] = f"verified (snake, {len(sins)} Sin nodes)"
     else:
         r["act.snake"] = "verified"
 
@@ -631,6 +654,10 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
     # them to constants, and skip the fold's nodes in the walk so its Mul is
     # never mistaken for an rms-norm scale vector
     wnodes = _weight_subgraph_nodes(model, prod)
+    # snake activations: Muls adjacent to Sin carry per-channel alphas, not
+    # rms-norm scales — routed to snake_alphas in graph order
+    snake_nodes = _snake_region(model, prod)
+    snake_alphas, seen_alpha = [], set()
 
     def wv(node, idx=1):
         name = node.inputs[idx]
@@ -688,13 +715,21 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
                 else:
                     mats.append(np.ascontiguousarray(mv.T))
         elif op == "Mul":
-            for name in node.inputs:
-                if name in init and init[name].ndim == 1:
-                    v = np.asarray(init[name], np.float32)
-                    if v.size == cfg.head_dim:
-                        muls64.append(v)
-                    elif v.size == cfg.hidden:
-                        muls_h.append(v)
+            if id(node) in snake_nodes:
+                for name in node.inputs:
+                    if name in init and init[name].ndim == 1 \
+                            and name not in seen_alpha:
+                        seen_alpha.add(name)
+                        snake_alphas.append(
+                            np.asarray(init[name], np.float32))
+            else:
+                for name in node.inputs:
+                    if name in init and init[name].ndim == 1:
+                        v = np.asarray(init[name], np.float32)
+                        if v.size == cfg.head_dim:
+                            muls64.append(v)
+                        elif v.size == cfg.hidden:
+                            muls_h.append(v)
 
     L = cfg.n_layers
     checks = [
@@ -737,6 +772,24 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
         sd[f"decoder.layers.{li}.post_attention_layernorm.weight"] = \
             muls_h[2 * li + 1]
     sd["decoder.norm.weight"] = muls_h[2 * L]
+
+    if getattr(cfg, "activation", "gelu") == "snake":
+        from qwen3_tts_tpu.models.vocoder import _upsample_channels
+        chans = _upsample_channels(cfg)
+        want = ([("decoder.pre_conv.alpha", cfg.hidden),
+                 ("decoder.post_conv1.alpha", cfg.hidden),
+                 ("decoder.post_conv2.alpha", cfg.hidden)]
+                + [(f"decoder.upsample.{i}.alpha", chans[i + 1])
+                   for i in range(len(cfg.upsample_factors) - 1)])
+        if len(snake_alphas) != len(want):
+            raise OnnxConversionError(
+                f"snake: found {len(snake_alphas)} alpha vectors, derived "
+                f"{len(want)} (pre, post1, post2, upsample[:-1])")
+        for (key, size), v in zip(want, snake_alphas):
+            if v.size != size:
+                raise OnnxConversionError(
+                    f"{key}: alpha size {v.size} != derived {size}")
+            sd[key] = v
     return sd
 
 
@@ -863,6 +916,22 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
         nodes.append(onnx_mod.OnnxNode("Mul", [x, n], [out]))
         return out
 
+    def snake(x, torch_key):
+        """Emit the snake subgraph x + sin^2(alpha*x)/alpha when the
+        params carry an alpha for this site (cfg.activation == 'snake')."""
+        akey = torch_key + ".alpha"
+        if akey not in sd:
+            return x
+        an = iname(akey)
+        init[an] = np.asarray(sd[akey], np.float32)
+        ax, sn, sq, dv, out = (vname() for _ in range(5))
+        nodes.append(onnx_mod.OnnxNode("Mul", [x, an], [ax]))
+        nodes.append(onnx_mod.OnnxNode("Sin", [ax], [sn]))
+        nodes.append(onnx_mod.OnnxNode("Mul", [sn, sn], [sq]))
+        nodes.append(onnx_mod.OnnxNode("Div", [sq, an], [dv]))
+        nodes.append(onnx_mod.OnnxNode("Add", [x, dv], [out]))
+        return out
+
     def conv(x, torch_key, op="Conv", strides=None):
         w = np.asarray(sd[torch_key + ".weight"], np.float32)
         wn, bn = iname(torch_key + ".weight"), iname(torch_key + ".bias")
@@ -895,7 +964,7 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
         "Concat", ["pre_conv_history", x], [cat], attrs={"axis": 2}))
     nodes.append(onnx_mod.OnnxNode(
         "Slice", [cat], ["next_pre_conv_history"]))
-    x = conv(cat, "decoder.pre_conv")
+    x = snake(conv(cat, "decoder.pre_conv"), "decoder.pre_conv")
 
     for li in range(L):
         p = f"decoder.layers.{li}."
@@ -945,15 +1014,16 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
     cat2 = vname()
     nodes.append(onnx_mod.OnnxNode(
         "Concat", ["latent_buffer", x], [cat2], attrs={"axis": 2}))
-    x = conv(cat2, "decoder.post_conv1")
+    x = snake(conv(cat2, "decoder.post_conv1"), "decoder.post_conv1")
     cat3 = vname()
     nodes.append(onnx_mod.OnnxNode(
         "Concat", ["conv_history", x], [cat3], attrs={"axis": 2}))
-    x = conv(cat3, "decoder.post_conv2")
+    x = snake(conv(cat3, "decoder.post_conv2"), "decoder.post_conv2")
     nodes.append(onnx_mod.OnnxNode(
         "Identity", [x], ["next_conv_history"]))
     for i, s in enumerate(cfg.upsample_factors):
         x = conv(x, f"decoder.upsample.{i}", op="ConvTranspose", strides=s)
+        x = snake(x, f"decoder.upsample.{i}")
     nodes.append(onnx_mod.OnnxNode("Identity", [x], ["final_wav"]))
     nodes.append(onnx_mod.OnnxNode(
         "Shape", [x], ["valid_samples"]))
