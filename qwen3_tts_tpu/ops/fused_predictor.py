@@ -416,7 +416,14 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
             x_ref[:] = x_ref[:] + dn
             return ()
 
-        jax.lax.fori_loop(0, L, layer, ())
+        # QWEN3_TTS_PRED_UNROLL=1: inline the L layer iterations so Mosaic
+        # can schedule across layer boundaries (the kernel floor is
+        # op-latency-bound). Trace-time knob; default off pending a
+        # measured win.
+        if os.environ.get("QWEN3_TTS_PRED_UNROLL") == "1":
+            jax.lax.fori_loop(0, L, layer, (), unroll=True)
+        else:
+            jax.lax.fori_loop(0, L, layer, ())
 
     def head_slice(q_idx):
         """logits_ref = head columns [q_idx*CV, (q_idx+1)*CV) of x_ref."""
