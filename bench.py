@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Benchmark: single-stream RTF on real TPU hardware.
 
-Times the FUSED generation path — one `lax.while_loop` program that runs the
-whole utterance (talker step + 16-code predictor expansion per frame) in a
-single dispatch — plus one fused vocoder decode, on the full-size flagship
-config with seeded random bf16 weights (reference weights are not
-redistributable in this container; FLOP/byte volumes and code paths are
-identical — only argmax values differ).
+Times the engine's offline path as ONE device program
+(generate.generate_audio: the `lax.while_loop` running the whole utterance —
+talker step + 16-code predictor expansion per frame — feeding the vocoder's
+one-shot decode, no host round-trip between codes and waveform), on the
+full-size flagship config with seeded random bf16 weights (reference weights
+are not redistributable in this container; FLOP/byte volumes and code paths
+are identical — only argmax values differ). The headline frame_ms therefore
+INCLUDES vocoding.
 
 Headline config is mixed: talker grouped int4 (Q4_K-class, ops/quant.py —
 streaming 0.7 GB instead of 1.4 GB of weights per step is the talker's HBM
@@ -92,11 +94,14 @@ def main() -> int:
     seed_base = (int(time.time()) % 1_000_000) * 100
 
     def measure_gen(mdl, tag, seed_off=0, rows=0, temperature=0.7):
+        # ONE fused device program: generation while_loop -> vocoder (the
+        # engine's offline path, generate.generate_audio). frame_ms
+        # therefore INCLUDES vocoding; no separate vocoder term is added.
         def gen(seed):
-            return generate.generate_codes(
-                mdl, cfg.talker, cfg.predictor, prompt, pad,
-                jax.random.key(seed), temperature, 40, 0.9, N_STEPS,
-                fused_rows=rows, ignore_eos=True)
+            return generate.generate_audio(
+                mdl, voc_params, cfg.talker, cfg.predictor, voc_cfg,
+                prompt, pad, jax.random.key(seed), temperature, 40, 0.9,
+                N_STEPS, fused_rows=rows, ignore_eos=True)
 
         # warmup / compile (two rounds: remote compile can finish lazily, so
         # the first post-compile dispatch may still absorb straggler work)
@@ -112,7 +117,7 @@ def main() -> int:
         samples = []
         for seed in seeds:
             t0 = time.perf_counter()
-            codes, n_frames = gen(seed)
+            wav, n_frames = gen(seed)
             n = int(jax.device_get(n_frames)[0])   # host fetch = hard sync
             assert n == N_STEPS, (n, N_STEPS)      # EOS mask: fixed extent
             samples.append((time.perf_counter() - t0, n))
@@ -128,10 +133,10 @@ def main() -> int:
         pad_b = jnp.zeros((batch,), jnp.int32)
 
         def gen(seed):
-            return generate.generate_codes(
-                mdl, cfg.talker, cfg.predictor, prompt_b, pad_b,
-                jax.random.key(seed), 0.7, 40, 0.9, N_STEPS,
-                fused_rows=rows, ignore_eos=True)
+            return generate.generate_audio(
+                mdl, voc_params, cfg.talker, cfg.predictor, voc_cfg,
+                prompt_b, pad_b, jax.random.key(seed), 0.7, 40, 0.9,
+                N_STEPS, fused_rows=rows, ignore_eos=True)
 
         for i in (0, 1):
             jax.block_until_ready(gen(seed_base + seed_off + i))
@@ -139,7 +144,7 @@ def main() -> int:
         samples = []
         for seed in seeds:
             t0 = time.perf_counter()
-            codes, n_frames = gen(seed)
+            wav, n_frames = gen(seed)
             n = int(jax.device_get(jnp.max(n_frames)))
             samples.append((time.perf_counter() - t0, max(n, 1)))
         med_t, med_n = sorted(samples)[len(samples) // 2]
@@ -275,7 +280,8 @@ def main() -> int:
         rtf = -1.0
         audio_per_s = 0.0
     else:
-        rtf = (frame_ms + voc_frame_ms) / 1e3 / frame_audio_s
+        # frame_ms covers the FUSED program (generation + vocoding)
+        rtf = frame_ms / 1e3 / frame_audio_s
         audio_per_s = 1.0 / rtf
         print(f"RTF/stream: {rtf:.4f}  (audio-s/s/chip: {audio_per_s:.2f}; "
               f"first-chunk: {first_chunk_ms:.0f} ms)", file=sys.stderr)
@@ -283,7 +289,7 @@ def main() -> int:
     detail = {
         "quant": headline,
         f"frame_ms_{headline}": round(frame_ms, 3) if frame_ms else None,
-        "vocoder_frame_ms": round(voc_frame_ms, 3),
+        "vocoder_frame_ms_supplementary": round(voc_frame_ms, 3),
         "vocoder_dtype": str(voc_cfg.dtype),
         "first_chunk_ms": round(first_chunk_ms, 1) if first_chunk_ms
         else None,
@@ -312,8 +318,7 @@ def main() -> int:
             frame_ms_b = measure_gen_batch(
                 models_q, B_TP, f"batch{B_TP}-{headline}",
                 seed_off=40 + B_TP, rows=ptab_rows)
-            throughput = (B_TP * frame_audio_s
-                          / ((frame_ms_b + voc_frame_ms) / 1e3))
+            throughput = B_TP * frame_audio_s / (frame_ms_b / 1e3)
             print(f"batch{B_TP} throughput: {throughput:.2f} "
                   f"audio-s/s/chip", file=sys.stderr)
         except Exception as e:   # supplementary must never fail the run

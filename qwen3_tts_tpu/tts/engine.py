@@ -14,8 +14,9 @@ Weight sources, resolved in order:
     no egress).
 
 Generation paths:
-  * offline  — `generate_codes` fused `lax.while_loop`, then bucketed
-    vocoder decode;
+  * offline  — `generate.generate_audio`: ONE fused device program
+    (generation `lax.while_loop` -> one-shot vocoder decode), no host
+    round-trip between codes and waveform;
   * stream   — jitted 4-frame step + chunked vocoder decode, emitting
     ~333 ms waveform chunks exactly like the reference decoder thread's
     64-code batching (`src/tts/engine.rs:487-543`).
@@ -40,16 +41,6 @@ from ..utils.audio import AudioSample
 from ..utils.tokenizer import load_tokenizer
 from ..utils.voice_file import VoiceFile
 from . import generate, prompt
-
-_VOCODER_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
-
-
-def _bucket(n: int) -> int:
-    for b in _VOCODER_BUCKETS:
-        if n <= b:
-            return b
-    return _VOCODER_BUCKETS[-1]
-
 
 class TtsEngine:
     def __init__(
@@ -246,19 +237,14 @@ class TtsEngine:
                 steps = min(self.max_steps, max(room, 1),
                             cfg.vocoder.max_frames)
                 sc = self.sampler_config
-                codes, n = generate.generate_codes(
-                    self.models, cfg.talker, cfg.predictor, batch, offsets,
+                # the offline path is ONE fused program (generation ->
+                # vocoder); warming it covers both stages
+                wav, n = generate.generate_audio(
+                    self.models, self.vocoder_params, cfg.talker,
+                    cfg.predictor, cfg.vocoder, batch, offsets,
                     jax.random.key(0), sc.temperature, sc.top_k, sc.top_p,
                     steps, fused_rows=self._fused_rows)
-                jax.block_until_ready((codes, n))
-        # vocoder buckets for typical utterance lengths
-        for b in batch_sizes:
-            state = vocoder.init_state(cfg.vocoder, b)
-            wav, _, _ = vocoder.decode(
-                self.vocoder_params, cfg.vocoder,
-                jnp.zeros((b, _bucket(1), P.NUM_CODEBOOKS), jnp.int32),
-                state, True)
-            jax.block_until_ready(wav)
+                jax.block_until_ready((wav, n))
         # streaming path: the make_stream_fns pair used by generate_stream
         # and ServingEngine, plus the chunk-sized vocoder decode, so the
         # first streaming request runs at steady-state latency (VERDICT r1 #7)
@@ -464,32 +450,23 @@ class TtsEngine:
         # src/tts/engine.rs:133): prompt slots + frames must fit the cache
         room = cfg.talker.max_seq - int(batch.shape[1])
         steps = min(self.max_steps, max(room, 1), cfg.vocoder.max_frames)
-        codes, n_frames = generate.generate_codes(
-            self.models, cfg.talker, cfg.predictor, batch, offsets,
-            self._seed_key(), sc.temperature, sc.top_k, sc.top_p,
-            steps, fused_rows=self._fused_rows,
+        # ONE device program end-to-end (generation while_loop -> vocoder):
+        # no host round-trip between codes and waveform. Identical output
+        # to the two-step bucketed path (generate.generate_audio docstring).
+        wav, n_frames = generate.generate_audio(
+            self.models, self.vocoder_params, cfg.talker, cfg.predictor,
+            cfg.vocoder, batch, offsets, self._seed_key(),
+            sc.temperature, sc.top_k, sc.top_p, steps,
+            fused_rows=self._fused_rows,
         )
-        codes = np.asarray(codes)
-        n_frames = np.asarray(n_frames)
-        return self._vocode_batch(codes, n_frames)
-
-    def _vocode_batch(self, codes: np.ndarray,
-                      n_frames: np.ndarray) -> List[AudioSample]:
-        cfg = self.config.vocoder
-        B = codes.shape[0]
-        n_max = max(1, int(n_frames.max()))
-        bucket = _bucket(n_max)
-        buf = np.zeros((B, bucket, P.NUM_CODEBOOKS), np.int32)
-        buf[:, : min(bucket, codes.shape[1])] = codes[:, :bucket]
-        state = vocoder.init_state(cfg, B)
-        wav, _, _ = vocoder.decode(
-            self.vocoder_params, cfg, jnp.asarray(buf), state, True)
         wav = np.asarray(wav)
+        n_frames = np.asarray(n_frames)
         out = []
-        for b in range(B):
+        for b in range(wav.shape[0]):
             n = int(n_frames[b])
             out.append(AudioSample(
-                samples=wav[b, : n * cfg.frame_samples].astype(np.float32),
+                samples=wav[b, : n * cfg.vocoder.frame_samples].astype(
+                    np.float32),
                 sample_rate=P.SAMPLE_RATE, channels=1,
             ))
         return out

@@ -240,6 +240,50 @@ def generate_codes(
     return codes_buf, state["n_frames"]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "pred_cfg", "voc_cfg", "top_k", "max_steps",
+        "fused_rows", "ignore_eos"),
+)
+def generate_audio(
+    models: Dict[str, Any],
+    voc_params: Dict[str, Any],
+    talker_cfg: TalkerConfig,
+    pred_cfg: PredictorConfig,
+    voc_cfg,
+    prompt_embeds: jax.Array,
+    pad_offset: jax.Array,
+    key: jax.Array,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    max_steps: int,
+    fused_rows: int = 0,
+    ignore_eos: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Offline synthesis as ONE device program: the fused generation
+    while_loop feeding the vocoder's one-shot decode, no host round-trip
+    between them.
+
+    Returns (wav [B, (max_steps+lookahead)*frame_samples] f32, n_frames
+    [B]); callers trim each row to n_frames * frame_samples. Rows past a
+    row's EOS hold zero codes, which is exactly what the bucketed two-step
+    path pads with — the vocoder is causal in frames, so the first
+    n_frames of waveform are identical for any padded length (tested).
+    """
+    from ..models import vocoder
+
+    codes, n_frames = generate_codes(
+        models, talker_cfg, pred_cfg, prompt_embeds, pad_offset, key,
+        temperature, top_k, top_p, max_steps, fused_rows, ignore_eos,
+    )
+    B = codes.shape[0]
+    wav, _, _ = vocoder.decode(
+        voc_params, voc_cfg, codes, vocoder.init_state(voc_cfg, B), True)
+    return wav, n_frames
+
+
 def make_stream_fns(talker_cfg: TalkerConfig, pred_cfg: PredictorConfig,
                     top_k: int, frames_per_call: int = 1,
                     fused_rows: int = 0):

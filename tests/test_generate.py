@@ -149,3 +149,31 @@ def test_batched_rows_independent(models):
         np.testing.assert_array_equal(
             np.asarray(codes_b)[i, :n], np.asarray(codes_s)[0, :n]
         )
+
+
+def test_generate_audio_matches_two_step(models):
+    """The fused one-program offline path (generation while_loop -> vocoder,
+    generate.generate_audio) must produce exactly the waveform of the
+    two-step path (codes -> separate vocoder decode) on each row's first
+    n_frames — zero-code padding is causal-safe."""
+    from qwen3_tts_tpu.models import vocoder
+
+    vcfg = CFG.vocoder
+    voc = vocoder.init_vocoder(jax.random.key(4), vcfg)
+    prompt = _prompt(2, 5, seed=9)
+    pad = jnp.zeros((2,), jnp.int32)
+    args = (prompt, pad, jax.random.key(3), 0.0, 0, 1.0, CFG.max_steps)
+
+    codes, n2 = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, *args)
+    wav2, _, _ = vocoder.decode(voc, vcfg, codes,
+                                vocoder.init_state(vcfg, 2), True)
+
+    wav1, n1 = generate.generate_audio(
+        models, voc, CFG.talker, CFG.predictor, vcfg, *args)
+
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    for b in range(2):
+        n = int(n1[b]) * vcfg.frame_samples
+        np.testing.assert_array_equal(
+            np.asarray(wav1)[b, :n], np.asarray(wav2)[b, :n])
