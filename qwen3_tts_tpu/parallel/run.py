@@ -121,12 +121,10 @@ def sharded_generate_step(
     )
     cfg = tp_config(mesh, cfg)      # match build_sharded_models' layout
     with jax.set_mesh(mesh):
-        codes, n_frames = generate.generate_codes(
-            models, cfg.talker, cfg.predictor, prompt, pad,
-            jax.random.key(seed), 0.0, 0, 1.0, max_steps,
-        )
-        state = vocoder.init_state(cfg.vocoder, batch)
-        wav, _, _ = vocoder.decode(
-            vocoder_params, cfg.vocoder, codes, state, True
+        # same single fused program as the single-chip offline path
+        # (generation while_loop -> vocoder, generate.generate_audio)
+        wav, n_frames = generate.generate_audio(
+            models, vocoder_params, cfg.talker, cfg.predictor, cfg.vocoder,
+            prompt, pad, jax.random.key(seed), 0.0, 0, 1.0, max_steps,
         )
     return wav, n_frames
