@@ -50,6 +50,31 @@ import time
 N_STEPS = 64          # frames per timed generation (~5.3 s of audio)
 
 
+def run_ladder(levels, clear_caches=None):
+    """Walk (name, env, run) levels until one succeeds.
+
+    Sets each level's env knobs (trace-time -> caches cleared first), calls
+    `run()`, and returns (name, result, errors). A level that raises is
+    recorded and the next, strictly-more-conservative level runs; if every
+    level fails, returns ("none", None, errors) — the bench then emits a
+    degraded JSON record instead of rc!=0 (VERDICT r3 #2/#7). Pure helper so
+    tests/test_bench_ladder.py can exercise the fallback logic off-device.
+    """
+    errors = []
+    for name, env, run in levels:
+        try:
+            for key, val in env.items():
+                os.environ[key] = val
+            if env and clear_caches is not None:
+                clear_caches()
+            return name, run(), errors
+        except Exception as e:
+            msg = f"{name} failed: {type(e).__name__}: {e}"
+            print(msg[:500], file=sys.stderr)
+            errors.append(msg[:200])
+    return "none", None, errors
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -207,30 +232,26 @@ def main() -> int:
 
     # Fallback ladder (see module docstring): each level is strictly more
     # conservative than the last; env knobs are trace-time, so clear caches.
-    bench_errors = []
-    frame_ms = models_q = None
-    ladder = [
-        ("int4+int8res", {}, lambda: quantized_models("int4", "int8")),
-        ("int8-nogather", {"QWEN3_TTS_NO_PTAB_GATHER": "1"},
-         lambda: quantized_models("int8", "int8")),
-        ("int8-nofused", {"QWEN3_TTS_NO_FUSED": "1"},
-         lambda: quantized_models("int8", "int8")),
-    ]
-    for headline, env, build in ladder:
-        try:
-            for key, val in env.items():
-                os.environ[key] = val
-            if env:
-                jax.clear_caches()
-            models_q = build()
-            frame_ms = measure_gen(models_q, headline, rows=ptab_rows)
-            break
-        except Exception as e:              # pragma: no cover - HW fallback
-            msg = f"{headline} failed: {type(e).__name__}: {e}"
-            print(msg[:500], file=sys.stderr)
-            bench_errors.append(msg[:200])
+    def level(talker_kind, predictor_kind, tag):
+        def run():
+            mq = quantized_models(talker_kind, predictor_kind)
+            return mq, measure_gen(mq, tag, rows=ptab_rows)
+        return run
+
+    headline, result, bench_errors = run_ladder(
+        [
+            ("int4+int8res", {}, level("int4", "int8", "int4+int8res")),
+            ("int8-nogather", {"QWEN3_TTS_NO_PTAB_GATHER": "1"},
+             level("int8", "int8", "int8-nogather")),
+            ("int8-nofused", {"QWEN3_TTS_NO_FUSED": "1"},
+             level("int8", "int8", "int8-nofused")),
+        ],
+        clear_caches=jax.clear_caches,
+    )
+    if result is None:
+        models_q, frame_ms = models, None       # even XLA int8 failed
     else:
-        headline, models_q = "none", models     # even XLA int8 failed
+        models_q, frame_ms = result
 
     # vocoder: fused decode of the full code matrix, fresh codes per call
     try:
