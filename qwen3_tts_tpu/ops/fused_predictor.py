@@ -128,16 +128,22 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
     # compiles with intermediate casts elided under
     # --xla_allow_excess_precision.
     def rms2(x, w_row):                      # x [Bp, H] f32-math rms norm
+        if "norm" in ablate:
+            return x.astype(dt)
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         return (xf * jax.lax.rsqrt(var + eps) * w_row).astype(dt)
 
     def rms3(x, w_row):                      # x [Bp, nh, hd]
+        if "norm" in ablate:
+            return x
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         return (xf * jax.lax.rsqrt(var + eps) * w_row[None]).astype(dt)
 
     def rope(x, cos_r, sin_r):               # x [Bp, nh, hd]; cos_r [1, hd]
+        if "rope" in ablate:
+            return x
         half = hd // 2
         rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
         c = cos_r[None].astype(dt)           # [1, 1, hd]
@@ -356,10 +362,11 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
                 kres, vres = refs["kres"], refs["vres"]
                 BKr = B * nk
                 row0 = pl.multiple_of(l * BKr, BKr)
-                kres[pl.ds(row0, BKr), pl.ds(pos, 1), :] = k3[:B].reshape(
-                    BKr, 1, hd).astype(jnp.float32)
-                vres[pl.ds(row0, BKr), pl.ds(pos, 1), :] = v3[:B].reshape(
-                    BKr, 1, hd).astype(jnp.float32)
+                if "kv" not in ablate:
+                    kres[pl.ds(row0, BKr), pl.ds(pos, 1), :] = \
+                        k3[:B].reshape(BKr, 1, hd).astype(jnp.float32)
+                    vres[pl.ds(row0, BKr), pl.ds(pos, 1), :] = \
+                        v3[:B].reshape(BKr, 1, hd).astype(jnp.float32)
             else:
                 kr.wait()
                 vr.wait()
