@@ -28,7 +28,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
