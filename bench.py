@@ -19,7 +19,8 @@ byte-halving AND avoids its VPU nibble-unpack). Fallback ladder (VERDICT r3
 #2: a kernel regression must degrade the JSON, never zero the round):
   1. int4 talker + int8-resident predictor (fused kernels, default knobs)
   2. int8 everywhere, ptab gather disabled (QWEN3_TTS_NO_PTAB_GATHER=1)
-  3. int8, fused kernels disabled entirely (QWEN3_TTS_NO_FUSED=1, pure XLA)
+  3. int8, ALL Pallas kernels disabled (QWEN3_TTS_NO_FUSED=1,
+     QWEN3_TTS_NO_FUSED_TALKER=1, QWEN3_TTS_NO_FLASH=1 — genuinely pure XLA)
 Each level clears jax caches so trace-time env knobs take effect.
 
 Timing is EOS-masked (`ignore_eos=True`): with random weights and sampling,
@@ -243,7 +244,12 @@ def main() -> int:
             ("int4+int8res", {}, level("int4", "int8", "int4+int8res")),
             ("int8-nogather", {"QWEN3_TTS_NO_PTAB_GATHER": "1"},
              level("int8", "int8", "int8-nogather")),
-            ("int8-nofused", {"QWEN3_TTS_NO_FUSED": "1"},
+            # last rung must be genuinely pure XLA: disable the fused
+            # predictor, the fused talker, AND the flash-decode kernel, so a
+            # regression in any one Pallas kernel cannot zero the round
+            ("int8-nofused", {"QWEN3_TTS_NO_FUSED": "1",
+                              "QWEN3_TTS_NO_FUSED_TALKER": "1",
+                              "QWEN3_TTS_NO_FLASH": "1"},
              level("int8", "int8", "int8-nofused")),
         ],
         clear_caches=jax.clear_caches,
@@ -277,7 +283,7 @@ def main() -> int:
         print(f"vocoder: {[round(t,3) for t in voc_times]} s "
               f"-> median {voc_frame_ms:.2f} ms/frame", file=sys.stderr)
     except Exception as e:                  # pragma: no cover - HW fallback
-        voc_frame_ms = 0.49                 # r3 judge-measured value
+        voc_frame_ms = None                 # degrade honestly: no fabricated
         msg = f"vocoder bench failed: {type(e).__name__}: {e}"
         print(msg[:500], file=sys.stderr)
         bench_errors.append(msg[:200])
@@ -292,7 +298,9 @@ def main() -> int:
     except Exception as e:                  # pragma: no cover - HW fallback
         print(f"first-chunk measurement failed ({e}); estimating",
               file=sys.stderr)
-        first_chunk_ms = 4 * (frame_ms + voc_frame_ms)
+        # frame_ms already includes vocoding (fused program); add the
+        # standalone vocoder term only if it was actually measured
+        first_chunk_ms = 4 * (frame_ms + (voc_frame_ms or 0.0))
         first_chunk_kind = "estimated"
 
     frame_audio_s = P.FRAME_SAMPLES / P.SAMPLE_RATE      # 1/12 s
@@ -310,7 +318,8 @@ def main() -> int:
     detail = {
         "quant": headline,
         f"frame_ms_{headline}": round(frame_ms, 3) if frame_ms else None,
-        "vocoder_frame_ms_supplementary": round(voc_frame_ms, 3),
+        "vocoder_frame_ms_supplementary": (
+            round(voc_frame_ms, 3) if voc_frame_ms is not None else None),
         "vocoder_dtype": str(voc_cfg.dtype),
         "first_chunk_ms": round(first_chunk_ms, 1) if first_chunk_ms
         else None,
