@@ -129,6 +129,44 @@ class VocoderConfig:
     # family codec activation) is supported end-to-end (init, decode,
     # ONNX conversion) in case the real release uses it
     activation: str = "gelu"
+    # ---- general upsampler family (BigVGAN/DAC lineage) ----
+    # Setting upsample_kernels selects the GENERAL streaming upsampler:
+    # per-stage ConvTranspose1d with kernel != stride (overlap-add across
+    # frames, so chunk boundaries carry state), optional residual dilated
+    # conv units after each stage (DAC ResidualUnit: act -> dilated
+    # Conv(k=resblock_kernel) -> act -> Conv(k=1) -> +skip), and a final
+    # output conv -> tanh. None keeps the kernel==stride matmul fast path.
+    upsample_kernels: Optional[Tuple[int, ...]] = None
+    # left output trim per stage (ONNX ConvTranspose pads[0]); right trim is
+    # implied as kernel - stride - left. None = (k - s + 1) // 2 per stage.
+    upsample_pads: Optional[Tuple[int, ...]] = None
+    # per-stage output channels. None = halving schedule (floor 32).
+    upsample_channels: Optional[Tuple[int, ...]] = None
+    resblock_kernel: int = 7
+    # dilations of the residual units after EVERY stage (empty = none)
+    resblock_dilations: Tuple[int, ...] = ()
+    # output conv kernel (general path only), C_last -> 1, centered padding
+    final_conv_kernel: int = 7
+
+    @property
+    def general_upsampler(self) -> bool:
+        return self.upsample_kernels is not None
+
+    def __post_init__(self):
+        if self.upsample_kernels is not None:
+            n = len(self.upsample_factors)
+            assert len(self.upsample_kernels) == n
+            for k, s in zip(self.upsample_kernels, self.upsample_factors):
+                assert k >= s, f"upsample kernel {k} < stride {s}"
+            if self.upsample_pads is not None:
+                assert len(self.upsample_pads) == n
+                for p, k, s in zip(self.upsample_pads,
+                                   self.upsample_kernels,
+                                   self.upsample_factors):
+                    assert 0 <= p <= k - s, (
+                        f"pad {p} outside [0, kernel-stride={k - s}]")
+            if self.upsample_channels is not None:
+                assert len(self.upsample_channels) == n
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,11 +92,14 @@ class VocoderState:
     conv_history: jax.Array       # [B, hidden, post_k-1]
     kv: Dict[str, jax.Array]      # decoder cache [L, B, H, max_frames, hd]
     frames_done: jax.Array        # [B] int32 (per row: continuous batching)
+    # general-upsampler rolling latent window ([B, hidden, ctx_l+ctx_r];
+    # width 0 on the kernel==stride matmul path)
+    up_hist: jax.Array
 
     def tree_flatten(self):
         return (
             (self.pre_conv_history, self.latent_buffer, self.conv_history,
-             self.kv, self.frames_done),
+             self.kv, self.frames_done, self.up_hist),
             None,
         )
 
@@ -120,6 +123,8 @@ def init_state(cfg: VocoderConfig, batch: int) -> VocoderState:
         # transformer trunk runs bf16 (see with_dtype)
         kv=decoder.init_kv_cache(tcfg, batch),
         frames_done=jnp.zeros((batch,), jnp.int32),
+        up_hist=jnp.zeros((batch, cfg.hidden, sum(up_context(cfg))),
+                          jnp.float32),
     )
 
 
@@ -143,45 +148,77 @@ def with_dtype(params: Dict[str, Any], cfg: VocoderConfig) -> Dict[str, Any]:
 def init_vocoder(key: jax.Array, cfg: VocoderConfig,
                  scale: float = 0.02) -> Dict[str, Any]:
     n_up = len(cfg.upsample_factors)
-    ks = jax.random.split(key, 6 + n_up)
+    n_res = len(cfg.resblock_dilations)
+    ks = iter(jax.random.split(key, 8 + n_up * (2 * n_res + 1)))
 
-    def w(k, shape):
-        return (scale * jax.random.normal(k, shape)).astype(jnp.float32)
+    def w(shape):
+        return (scale * jax.random.normal(next(ks), shape)).astype(
+            jnp.float32)
 
     snake = cfg.activation == "snake"
 
-    def alpha(c):
+    def alpha(c, name="alpha"):
         # snake alphas init to 1.0 (checkpoints overwrite); per channel
-        return {"alpha": jnp.ones((c,), jnp.float32)} if snake else {}
+        return {name: jnp.ones((c,), jnp.float32)} if snake else {}
 
-    chans = _upsample_channels(cfg)
-    up = []
     n = len(cfg.upsample_factors)
-    for i, s in enumerate(cfg.upsample_factors):
-        c_in, c_out = chans[i], chans[i + 1]
-        up.append({
-            "w": w(ks[6 + i], (c_in, s * c_out)),
-            "b": jnp.zeros((s * c_out,), jnp.float32),
-            # last stage is tanh (waveform head) in both activation modes
-            **(alpha(c_out) if i < n - 1 else {}),
-        })
+    if cfg.general_upsampler:
+        # DAC/BigVGAN-family stage: act -> ConvTranspose(k != s) ->
+        # residual dilated units; final act -> Conv -> tanh head
+        chans = up_channels(cfg)
+        up = []
+        for i, (k_, s_) in enumerate(zip(cfg.upsample_kernels,
+                                         cfg.upsample_factors)):
+            c_in, c_out = chans[i], chans[i + 1]
+            entry = {"wt": w((c_in, c_out, k_)),     # torch IOH layout
+                     "b": jnp.zeros((c_out,), jnp.float32),
+                     **alpha(c_in)}
+            res = []
+            for _d in cfg.resblock_dilations:
+                kr = cfg.resblock_kernel
+                res.append({
+                    "w1": w((c_out, c_out, kr)),
+                    "b1": jnp.zeros((c_out,), jnp.float32),
+                    "w2": w((c_out, c_out, 1)),
+                    "b2": jnp.zeros((c_out,), jnp.float32),
+                    **alpha(c_out, "alpha1"), **alpha(c_out, "alpha2"),
+                })
+            if res:
+                entry["res"] = res
+            up.append(entry)
+        extra = {"final": {"w": w((1, chans[-1], cfg.final_conv_kernel)),
+                           "b": jnp.zeros((1,), jnp.float32),
+                           **alpha(chans[-1])}}
+    else:
+        chans = _upsample_channels(cfg)
+        up = []
+        for i, s in enumerate(cfg.upsample_factors):
+            c_in, c_out = chans[i], chans[i + 1]
+            up.append({
+                "w": w((c_in, s * c_out)),
+                "b": jnp.zeros((s * c_out,), jnp.float32),
+                # last stage is tanh (waveform head) in both activation modes
+                **(alpha(c_out) if i < n - 1 else {}),
+            })
+        extra = {}
     la = cfg.lookahead
     return {
-        "embed": w(ks[0], (cfg.num_codebooks, cfg.code_vocab, cfg.embed_dim)),
+        **extra,
+        "embed": w((cfg.num_codebooks, cfg.code_vocab, cfg.embed_dim)),
         "pre_conv": {
-            "w": w(ks[1], (cfg.hidden, cfg.embed_dim, cfg.pre_conv_kernel)),
+            "w": w((cfg.hidden, cfg.embed_dim, cfg.pre_conv_kernel)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
             **alpha(cfg.hidden),
         },
-        "transformer": decoder.init_decoder(ks[2], transformer_config(cfg),
+        "transformer": decoder.init_decoder(next(ks), transformer_config(cfg),
                                             scale),
         "post_a": {   # centered conv: LA left context + LA lookahead
-            "w": w(ks[3], (cfg.hidden, cfg.hidden, 2 * la + 1)),
+            "w": w((cfg.hidden, cfg.hidden, 2 * la + 1)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
             **alpha(cfg.hidden),
         },
         "post_b": {   # causal conv
-            "w": w(ks[4], (cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
+            "w": w((cfg.hidden, cfg.hidden, cfg.post_conv_kernel)),
             "b": jnp.zeros((cfg.hidden,), jnp.float32),
             **alpha(cfg.hidden),
         },
@@ -206,6 +243,151 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
         x, w, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
     ) + b[None, :, None]
+
+
+# ------------------------------------------------- general upsampler family
+# BigVGAN/DAC-lineage head: per-stage ConvTranspose with kernel != stride
+# (overlap-add across frame boundaries) followed by residual dilated conv
+# units, then a final output conv. Streamed by OVERLAP-RECOMPUTE: the stack
+# is a time-invariant map with a finite receptive field, so each decode call
+# runs it on [rolling latent history | new latents] and emits only the
+# samples that are (a) outside the corrupt left edge of the window and
+# (b) independent of future latents. Per-layer boundary masks zero every
+# position outside the true stream extent at that layer's rate, which makes
+# the window computation EXACTLY the one-shot computation for the emitted
+# region — including stream start, per-row is_last flush, and short streams.
+
+
+def stage_pads(cfg: VocoderConfig):
+    """Per-stage (left, right) output trims; left + right == kernel - stride
+    keeps output length == T * stride (ONNX ConvTranspose pads)."""
+    out = []
+    for i, (k, s) in enumerate(zip(cfg.upsample_kernels,
+                                   cfg.upsample_factors)):
+        p = (cfg.upsample_pads[i] if cfg.upsample_pads is not None
+             else (k - s + 1) // 2)
+        out.append((p, k - s - p))
+    return out
+
+
+def up_channels(cfg: VocoderConfig):
+    """General-path channel schedule: hidden halving per stage (floor 32)
+    unless cfg.upsample_channels pins it; the final conv maps to 1."""
+    if cfg.upsample_channels is not None:
+        return [cfg.hidden, *cfg.upsample_channels]
+    chans = [cfg.hidden]
+    for _ in cfg.upsample_factors:
+        chans.append(max(32, chans[-1] // 2))
+    return chans
+
+
+@functools.lru_cache(maxsize=None)
+def up_context(cfg: VocoderConfig):
+    """(ctx_l, ctx_r) in latent frames for the general upsampler.
+
+    Composes the forward influence interval of one latent frame through the
+    stack: a latent at index i influences output samples [i*S + lo,
+    i*S + hi]. A sample therefore needs latents up to ceil(hi/S) frames
+    back (left context) and up to ceil(-lo/S) frames ahead (lookahead /
+    emission delay). (0, 0) on the kernel==stride matmul path."""
+    if not cfg.general_upsampler:
+        return (0, 0)
+    lo = hi = 0
+    kr = cfg.resblock_kernel
+    for (k, s), (pl, _pr) in zip(
+            zip(cfg.upsample_kernels, cfg.upsample_factors),
+            stage_pads(cfg)):
+        lo, hi = lo * s - pl, hi * s + (k - 1 - pl)
+        for d in cfg.resblock_dilations:
+            reach = d * (kr - 1)
+            pl_r = reach // 2
+            lo, hi = lo - (reach - pl_r), hi + pl_r
+    kf = cfg.final_conv_kernel
+    pf = (kf - 1) // 2
+    lo, hi = lo - (kf - 1 - pf), hi + pf
+    S = cfg.frame_samples
+    return (-(-max(hi, 0) // S), -(-max(-lo, 0) // S))
+
+
+def _site_act(cfg: VocoderConfig, entry: Dict[str, Any], key: str,
+              x: jax.Array) -> jax.Array:
+    """Channels-first activation at a named snake-alpha site."""
+    if cfg.activation != "snake":
+        return jax.nn.gelu(x)
+    a = entry[key][None, :, None]
+    s = jnp.sin(a * x)
+    return x + s * s / a
+
+
+def _conv_transpose1d(x: jax.Array, wt: jax.Array, b: jax.Array,
+                      stride: int, pads) -> jax.Array:
+    """ONNX/torch ConvTranspose1d: x [B,Cin,T], wt [Cin,Cout,K] ->
+    [B,Cout,T*stride] (output trimmed by pads). Expressed as an
+    lhs-dilated correlation with the flipped, transposed kernel."""
+    k = wt.shape[-1]
+    pl, pr = pads
+    w = jnp.flip(jnp.swapaxes(wt, 0, 1), axis=-1)       # [Cout, Cin, K]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(k - 1 - pl, k - 1 - pr)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return y + b[None, :, None]
+
+
+def _dilated_conv1d(x: jax.Array, w: jax.Array, b: jax.Array,
+                    dilation: int) -> jax.Array:
+    """Symmetrically padded dilated conv (length-preserving)."""
+    reach = dilation * (w.shape[-1] - 1)
+    pl = reach // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(pl, reach - pl)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return y + b[None, :, None]
+
+
+def _up_stack_general(params, cfg: VocoderConfig, window: jax.Array,
+                      g0: jax.Array, n_total: jax.Array) -> jax.Array:
+    """One-shot-exact window evaluation of the general upsampler.
+
+    window  [B, hidden, W] latents; column j is global latent g0[b] + j
+    (g0 may be negative near stream start — those columns are pre-stream).
+    n_total [B] is the stream's total latent extent for the right-side
+    mask (for non-final rows the region beyond it is withheld anyway).
+    Returns the full window waveform [B, W * frame_samples]; the caller
+    emits only the provably-clean sample range.
+    """
+
+    def mask(z, rate):
+        pos = g0[:, None] * rate + jnp.arange(z.shape[-1],
+                                              dtype=jnp.int32)[None]
+        ok = (pos >= 0) & (pos < n_total[:, None] * rate)
+        return jnp.where(ok[:, None, :], z, 0.0)
+
+    rate = 1
+    z = mask(window, rate)
+    for stage, (k, s), pads in zip(params["up"],
+                                   zip(cfg.upsample_kernels,
+                                       cfg.upsample_factors),
+                                   stage_pads(cfg)):
+        z = _site_act(cfg, stage, "alpha", z)
+        z = _conv_transpose1d(z, stage["wt"], stage["b"], s, pads)
+        rate *= s
+        z = mask(z, rate)
+        for unit, d in zip(stage.get("res", ()), cfg.resblock_dilations):
+            y = _site_act(cfg, unit, "alpha1", z)
+            y = _dilated_conv1d(y, unit["w1"], unit["b1"], d)
+            y = _site_act(cfg, unit, "alpha2", y)
+            y = _conv1d(y, unit["w2"], unit["b2"])
+            z = mask(z + y, rate)
+    fin = params["final"]
+    z = _site_act(cfg, fin, "alpha", z)
+    kf = cfg.final_conv_kernel
+    pf = (kf - 1) // 2
+    z = jax.lax.conv_general_dilated(
+        z, fin["w"], window_strides=(1,), padding=[(pf, kf - 1 - pf)],
+        dimension_numbers=("NCH", "OIH", "NCH")) + fin["b"][None, :, None]
+    return jnp.tanh(z)[:, 0, :]
 
 
 def _act(cfg: VocoderConfig, entry: Dict[str, Any], x: jax.Array,
@@ -245,10 +427,12 @@ def _post_stage(
     h_new: jax.Array,            # [B, N, hidden] new transformer latents
     state: VocoderState,
     is_last: jax.Array,          # [B] int32 (0/1)
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Lookahead post-net + upsampler shared by decode() and flush().
 
-    Returns (wav [B,(N+LA)*F], valid [B], new_latent_buffer, new_conv_hist).
+    Returns (wav, valid [B], new_latent_buffer, new_conv_hist, new_up_hist).
+    wav is [B,(N+LA)*F] on the matmul path, [B,(N+LA+ctx_r)*F] on the
+    general path (emission lags a further ctx_r frames there).
     """
     B, N, H = h_new.shape
     la = cfg.lookahead
@@ -284,15 +468,47 @@ def _post_stage(
         % (N + la)
     lat = jnp.take_along_axis(lat, idx[:, :, None], axis=1)
 
-    wav = _upsample(params, cfg, lat)                         # [B,(N+LA)*F]
-
-    # emitted frames this call: everything finalized beyond what previous
-    # calls emitted; final calls flush the LA-frame lookahead window
+    # finalized latents this call: everything beyond what previous calls
+    # finalized; final calls flush the LA-frame lookahead window
     emitted_before = jnp.maximum(fd - la, 0)
     total = fd + N
-    emit_now = jnp.where(is_last > 0, total,
-                         jnp.maximum(total - la, 0)) - emitted_before
-    valid = jnp.maximum(emit_now, 0) * cfg.frame_samples      # [B]
+    fin_total = jnp.where(is_last > 0, total, jnp.maximum(total - la, 0))
+    emit_now = fin_total - emitted_before
+    emit_now = jnp.maximum(emit_now, 0)
+
+    if not cfg.general_upsampler:
+        # frame-local matmul path: every finalized latent maps to exactly
+        # its own 2000 samples, so emission == finalization
+        wav = _upsample(params, cfg, lat)                     # [B,(N+LA)*F]
+        valid = emit_now * cfg.frame_samples                  # [B]
+        new_up_hist = state.up_hist
+    else:
+        # overlap-recompute streaming (see the general-upsampler block
+        # above): evaluate on [rolling history | newly finalized latents],
+        # emit the clean range, carry the last ctx_l+ctx_r latents
+        S = cfg.frame_samples
+        ctx_l, ctx_r = up_context(cfg)
+        C = ctx_l + ctx_r
+        latT = jnp.swapaxes(lat, 1, 2)                        # [B,H,N+LA]
+        window = jnp.concatenate([state.up_hist, latT], axis=-1)
+        g0 = emitted_before - C                               # [B]
+        wav_full = _up_stack_general(params, cfg, window, g0, fin_total)
+        prev_emit = jnp.maximum(emitted_before - ctx_r, 0)
+        emit_end = jnp.where(is_last > 0, fin_total,
+                             jnp.maximum(fin_total - ctx_r, 0))
+        emit_cnt = jnp.maximum(emit_end - prev_emit, 0)
+        out_w = (N + la + ctx_r) * S
+        idx = (prev_emit - g0)[:, None] * S \
+            + jnp.arange(out_w, dtype=jnp.int32)[None]
+        wav = jnp.take_along_axis(
+            wav_full, jnp.clip(idx, 0, wav_full.shape[1] - 1), axis=1)
+        wav = jnp.where(
+            jnp.arange(out_w, dtype=jnp.int32)[None]
+            < (emit_cnt * S)[:, None], wav, 0.0)
+        valid = emit_cnt * S
+        hidx = jnp.arange(C, dtype=jnp.int32)[None] + emit_now[:, None]
+        new_up_hist = jnp.take_along_axis(window, hidx[:, None, :], axis=2) \
+            if C > 0 else state.up_hist
 
     # pending window: last 2LA latents fed so far (zero-left-padded)
     new_latbuf = jnp.concatenate([state.latent_buffer, hc],
@@ -301,7 +517,7 @@ def _post_stage(
     # causal history: last K_b-1 REAL (non-flush) masked conv_a outputs
     hist_src = jnp.concatenate([state.conv_history, a_out[..., :N]], axis=-1)
     new_hist = hist_src[..., -(kb - 1):] if kb > 1 else state.conv_history
-    return wav, valid, new_latbuf, new_hist
+    return wav, valid, new_latbuf, new_hist, new_up_hist
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -351,8 +567,8 @@ def decode(
         state.frames_done, with_logits=False,
     )
 
-    # 4. lookahead post-net + frame-local upsampler
-    wav, valid, new_latbuf, new_hist = _post_stage(
+    # 4. lookahead post-net + upsampler (matmul or general streaming path)
+    wav, valid, new_latbuf, new_hist, new_up = _post_stage(
         params, cfg, h.astype(jnp.float32), state, last_vec)
 
     new_state = VocoderState(
@@ -361,6 +577,7 @@ def decode(
         conv_history=new_hist,
         kv=kv,
         frames_done=state.frames_done + N,
+        up_hist=new_up,
     )
     return wav, valid, new_state
 
@@ -376,7 +593,7 @@ def flush(
     when a stream ends between batched decode calls (serving)."""
     B = state.frames_done.shape[0]
     h0 = jnp.zeros((B, 0, cfg.hidden), jnp.float32)
-    wav, valid, new_latbuf, new_hist = _post_stage(
+    wav, valid, new_latbuf, new_hist, new_up = _post_stage(
         params, cfg, h0, state, jnp.ones((B,), jnp.int32))
     new_state = VocoderState(
         pre_conv_history=state.pre_conv_history,
@@ -384,6 +601,7 @@ def flush(
         conv_history=new_hist,
         kv=state.kv,
         frames_done=state.frames_done,
+        up_hist=new_up,
     )
     return wav, valid, new_state
 
@@ -396,4 +614,21 @@ def gather_row(state: VocoderState, row: int) -> VocoderState:
         conv_history=state.conv_history[row:row + 1],
         kv={k: v[:, row:row + 1] for k, v in state.kv.items()},
         frames_done=state.frames_done[row:row + 1],
+        up_hist=state.up_hist[row:row + 1],
+    )
+
+
+def reset_row(state: VocoderState, row: int) -> VocoderState:
+    """Zero one batch row in place (serving slot reuse on admission)."""
+
+    def zero_row(x):
+        return x.at[row].set(jnp.zeros_like(x[row]))
+
+    return VocoderState(
+        pre_conv_history=zero_row(state.pre_conv_history),
+        latent_buffer=zero_row(state.latent_buffer),
+        conv_history=zero_row(state.conv_history),
+        kv={k: v.at[:, row].set(0) for k, v in state.kv.items()},
+        frames_done=state.frames_done.at[row].set(0),
+        up_hist=zero_row(state.up_hist),
     )

@@ -298,13 +298,4 @@ def _scatter_row(big, small, row: int):
 
 
 def _reset_vocoder_row(vstate, vcfg, row: int):
-    def zero_row(x):
-        return x.at[row].set(jnp.zeros_like(x[row]))
-
-    return vocoder.VocoderState(
-        pre_conv_history=zero_row(vstate.pre_conv_history),
-        latent_buffer=zero_row(vstate.latent_buffer),
-        conv_history=zero_row(vstate.conv_history),
-        kv={k: v.at[:, row].set(0) for k, v in vstate.kv.items()},
-        frames_done=vstate.frames_done.at[row].set(0),
-    )
+    return vocoder.reset_row(vstate, row)

@@ -306,3 +306,242 @@ def test_matches_numpy_oracle(params):
     got = np.asarray(wav)[0, : int(valid[0])]
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------- general upsampler (DAC/BigVGAN)
+# kernel != stride transposed convs (overlap-add across chunk boundaries),
+# residual dilated conv units per stage, final output conv. The reference
+# serves this family as an opaque ONNX graph (src/models/onnx.rs:324-496);
+# here the streaming path must stay bit-exact vs one-shot.
+
+import dataclasses  # noqa: E402
+
+GCFG = dataclasses.replace(
+    CFG,
+    upsample_kernels=(10, 10, 10, 8, 8),     # k ~ 2s (DAC shape)
+    resblock_dilations=(1, 3),
+    resblock_kernel=7,
+    final_conv_kernel=7,
+)
+GCFG_SNAKE = dataclasses.replace(GCFG, activation="snake")
+
+
+def _assert_ulp_equal(got, want):
+    """Streamed output must equal one-shot up to conv reduction-order ulps:
+    the overlap-recompute window runs the SAME math, but XLA convolutions
+    reassociate differently across window extents (observed <= ~1e-14)."""
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def gparams():
+    return vocoder.init_vocoder(jax.random.key(1), GCFG)
+
+
+def _gcodes(n_frames, batch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(0, GCFG.code_vocab, size=(batch, n_frames, 16)),
+        jnp.int32)
+
+
+def test_general_ctx_is_positive():
+    ctx_l, ctx_r = vocoder.up_context(GCFG)
+    assert ctx_l > 0 and ctx_r > 0          # overlap-add => real lookahead
+    assert vocoder.up_context(CFG) == (0, 0)  # matmul path carries nothing
+
+
+def test_general_streaming_equals_oneshot_bitexact(gparams):
+    """Chunked decode + final flush must be BIT-exact (atol=0) vs one-shot:
+    the overlap-recompute window with per-layer boundary masks IS the
+    one-shot computation for every emitted sample."""
+    total = 11
+    codes = _gcodes(total, seed=3)
+
+    one, v, _ = vocoder.decode(gparams, GCFG, codes,
+                               vocoder.init_state(GCFG, 1), True)
+    one = np.asarray(one)[:, : int(v[0])]
+    assert one.shape[1] == total * F
+
+    state = vocoder.init_state(GCFG, 1)
+    chunks = []
+    for start in range(0, total, 4):
+        part = codes[:, start:start + 4]
+        wav, valid, state = vocoder.decode(gparams, GCFG, part, state,
+                                           start + 4 >= total)
+        chunks.append(np.asarray(wav)[:, : int(valid[0])])
+    streamed = np.concatenate(chunks, axis=1)
+    assert streamed.shape == one.shape
+    _assert_ulp_equal(streamed, one)
+
+
+def test_general_flush_drains_pending(gparams):
+    total = 7
+    codes = _gcodes(total, seed=4)
+    one, v, _ = vocoder.decode(gparams, GCFG, codes,
+                               vocoder.init_state(GCFG, 1), True)
+    one = np.asarray(one)[:, : int(v[0])]
+
+    state = vocoder.init_state(GCFG, 1)
+    w1, v1, state = vocoder.decode(gparams, GCFG, codes, state, False)
+    w2, v2, _ = vocoder.flush(gparams, GCFG, state)
+    got = np.concatenate([np.asarray(w1)[:, : int(v1[0])],
+                          np.asarray(w2)[:, : int(v2[0])]], axis=1)
+    _assert_ulp_equal(got, one)
+
+
+def test_general_short_stream_is_last_first_call(gparams):
+    """A stream shorter than the upsampler context, flushed on its first
+    call (young + last: both window edges are true stream boundaries)."""
+    total = 2                                # < ctx_l + ctx_r
+    codes = _gcodes(total, seed=6)
+    wav, v, _ = vocoder.decode(gparams, GCFG, codes,
+                               vocoder.init_state(GCFG, 1), True)
+    assert v.tolist() == [total * F]
+    # and in two 1-frame calls
+    state = vocoder.init_state(GCFG, 1)
+    w1, v1, state = vocoder.decode(gparams, GCFG, codes[:, :1], state, False)
+    w2, v2, _ = vocoder.decode(gparams, GCFG, codes[:, 1:], state, True)
+    got = np.concatenate([np.asarray(w1)[:, : int(v1[0])],
+                          np.asarray(w2)[:, : int(v2[0])]], axis=1)
+    _assert_ulp_equal(got, np.asarray(wav)[:, : int(v[0])])
+
+
+def test_general_per_row_is_last(gparams):
+    codes = _gcodes(4, batch=2, seed=5)
+    state = vocoder.init_state(GCFG, 2)
+    is_last = jnp.asarray([True, False])
+    wav, valid, _ = vocoder.decode(gparams, GCFG, codes, state, is_last)
+    assert valid.tolist()[0] == 4 * F
+    assert valid.tolist()[1] < 4 * F         # withheld lookahead + ctx_r
+    solo, vs, _ = vocoder.decode(gparams, GCFG, codes[:1],
+                                 vocoder.init_state(GCFG, 1), True)
+    # batch-2 vs batch-1 conv kernels round differently; same tolerance as
+    # the matmul-path per-row test
+    np.testing.assert_allclose(
+        np.asarray(wav)[0, : int(valid[0])],
+        np.asarray(solo)[0, : int(vs[0])], rtol=1e-4, atol=1e-7)
+
+
+def test_general_snake_streaming(gparams):
+    p = vocoder.init_vocoder(jax.random.key(2), GCFG_SNAKE)
+    assert "alpha" in p["up"][0] and "alpha1" in p["up"][0]["res"][0]
+    assert "alpha" in p["final"]
+    total = 9
+    codes = _gcodes(total, seed=7)
+    one, v, _ = vocoder.decode(p, GCFG_SNAKE, codes,
+                               vocoder.init_state(GCFG_SNAKE, 1), True)
+    one = np.asarray(one)[:, : int(v[0])]
+    state = vocoder.init_state(GCFG_SNAKE, 1)
+    chunks = []
+    for start in range(0, total, 4):
+        part = codes[:, start:start + 4]
+        wav, valid, state = vocoder.decode(p, GCFG_SNAKE, part, state,
+                                           start + 4 >= total)
+        chunks.append(np.asarray(wav)[:, : int(valid[0])])
+    _assert_ulp_equal(np.concatenate(chunks, axis=1), one)
+
+
+def test_general_gather_and_reset_row(gparams):
+    codes = _gcodes(5, batch=3, seed=8)
+    state = vocoder.init_state(GCFG, 3)
+    _, _, state = vocoder.decode(gparams, GCFG, codes, state, False)
+    w_row, v_row, _ = vocoder.flush(gparams, GCFG,
+                                    vocoder.gather_row(state, 1))
+    state1 = vocoder.init_state(GCFG, 1)
+    _, _, state1 = vocoder.decode(gparams, GCFG, codes[1:2], state1, False)
+    w_solo, v_solo, _ = vocoder.flush(gparams, GCFG, state1)
+    assert v_row.tolist() == v_solo.tolist()
+    np.testing.assert_allclose(np.asarray(w_row), np.asarray(w_solo),
+                               rtol=1e-4, atol=1e-7)
+    # reset_row returns the slot to the stream-start state
+    reset = vocoder.reset_row(state, 1)
+    assert int(reset.frames_done[1]) == 0
+    assert float(jnp.abs(reset.up_hist[1]).max()) == 0.0
+
+
+def _np_convT(x, wt, b, s, pads):
+    """x [Cin,T], wt [Cin,Cout,K] -> [Cout, T*s] (trimmed by pads)."""
+    Cin, Cout, K = wt.shape
+    T = x.shape[1]
+    full = np.zeros((Cout, (T - 1) * s + K))
+    for i in range(T):
+        full[:, i * s:i * s + K] += np.einsum("c,cok->ok", x[:, i], wt)
+    pl, pr = pads
+    out = full[:, pl: full.shape[1] - pr]
+    return out + b[:, None]
+
+
+def _np_dconv(x, w, b, d):
+    """Symmetric-pad dilated conv: x [Cin,T], w [Cout,Cin,K] -> [Cout,T]."""
+    Cout, Cin, K = w.shape
+    reach = d * (K - 1)
+    pl = reach // 2
+    xp = np.concatenate([np.zeros((Cin, pl)), x,
+                         np.zeros((Cin, reach - pl))], axis=1)
+    T = x.shape[1]
+    out = np.zeros((Cout, T))
+    for k in range(K):
+        out += np.einsum("oi,it->ot", w[:, :, k], xp[:, k * d:k * d + T])
+    return out + b[:, None]
+
+
+def np_general_upsample(params, cfg, lat):
+    """Independent one-shot general upsampler: lat [N, hidden] -> wav."""
+    p = jax.tree.map(np.asarray, params)
+
+    def act(entry, key, x):
+        if cfg.activation != "snake":
+            return _np_gelu(x)
+        a = entry[key][:, None]
+        s = np.sin(a * x)
+        return x + s * s / a
+
+    z = lat.T                                     # [C, N]
+    pads = vocoder.stage_pads(cfg)
+    for i, (stage, (k, s)) in enumerate(zip(
+            p["up"], zip(cfg.upsample_kernels, cfg.upsample_factors))):
+        z = act(stage, "alpha", z)
+        z = _np_convT(z, stage["wt"], stage["b"], s, pads[i])
+        for unit, d in zip(stage.get("res", ()), cfg.resblock_dilations):
+            y = act(unit, "alpha1", z)
+            y = _np_dconv(y, unit["w1"], unit["b1"], d)
+            y = act(unit, "alpha2", y)
+            y = _np_dconv(y, unit["w2"], unit["b2"], 1)
+            z = z + y
+    fin = p["final"]
+    z = act(fin, "alpha", z)
+    z = _np_dconv(z, fin["w"], fin["b"], 1)
+    return np.tanh(z)[0]
+
+
+def test_general_matches_numpy_oracle(gparams):
+    """decode() against a from-scratch numpy implementation of the whole
+    general pipeline (embed-sum -> convs -> transformer -> post-net ->
+    act/ConvTranspose/resunits/final-conv stack)."""
+    codes = np.random.default_rng(11).integers(0, GCFG.code_vocab, (6, 16))
+    p = jax.tree.map(np.asarray, gparams)
+    N = codes.shape[0]
+    la, kp, kb = GCFG.lookahead, GCFG.pre_conv_kernel, GCFG.post_conv_kernel
+
+    emb = np.zeros((N, GCFG.embed_dim))
+    for q in range(GCFG.num_codebooks):
+        emb += p["embed"][q][np.clip(codes[:, q], 0, GCFG.code_vocab - 1)]
+    x = np.concatenate([np.zeros((GCFG.embed_dim, kp - 1)), emb.T], axis=1)
+    y = _np_gelu(_np_conv_valid(x, p["pre_conv"]["w"], p["pre_conv"]["b"]))
+    tcfg = vocoder.transformer_config(GCFG)
+    h, _ = np_forward(gparams["transformer"], tcfg, y.T.astype(np.float32),
+                      np.arange(N))
+    a_in = np.concatenate([np.zeros((GCFG.hidden, la)), h.T,
+                           np.zeros((GCFG.hidden, la))], axis=1)
+    a = _np_gelu(_np_conv_valid(a_in, p["post_a"]["w"], p["post_a"]["b"]))
+    b_in = np.concatenate([np.zeros((GCFG.hidden, kb - 1)), a], axis=1)
+    bb = _np_gelu(_np_conv_valid(b_in, p["post_b"]["w"], p["post_b"]["b"]))
+    want = np_general_upsample(gparams, GCFG, bb.T)
+
+    wav, valid, _ = vocoder.decode(
+        gparams, GCFG, jnp.asarray(codes, jnp.int32)[None],
+        vocoder.init_state(GCFG, 1), True)
+    got = np.asarray(wav)[0, : int(valid[0])]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
