@@ -230,7 +230,10 @@ def test_vocoder_snake_detected(tmp_path, params):
     report = cw.validate_vocoder_onnx(onnx.read_model(path), CFG)
     assert report["act.snake"].startswith("mismatch"), report
     assert alpha in report["act.snake"], report
-    with pytest.raises(cw.OnnxConversionError, match="act.snake"):
+    # auto-derive classifies the graph as snake, but the single bolted-on
+    # 3-D alpha cannot be anchored to the full site set — conversion still
+    # fails loudly instead of silently misconverting
+    with pytest.raises(cw.OnnxConversionError, match="snake"):
         cw.convert_vocoder_onnx(path, CFG)
 
 
@@ -279,10 +282,12 @@ def test_vocoder_snake_roundtrip(tmp_path, anonymize):
     got = cw.convert_vocoder_onnx(path, scfg)
     _assert_tree_equal(p, got)
 
-    # same snake graph converted under the gelu-derived config still fails
-    # loudly (the detection test's contract)
-    with pytest.raises(cw.OnnxConversionError, match="act.snake"):
-        cw.convert_vocoder_onnx(path, CFG)
+    # same snake graph converted under the gelu-derived config now
+    # AUTO-DERIVES snake from the graph (the graph, not the caller, knows
+    # its activation family) and converts identically
+    got2, cfg2 = cw.convert_vocoder_onnx(path, CFG, return_cfg=True)
+    assert cfg2.activation == "snake"
+    _assert_tree_equal(p, jax.tree.map(np.asarray, got2))
 
 
 def test_structural_failure_names_subgraph(tmp_path, params):
@@ -367,3 +372,98 @@ def test_converter_cli_onnx(tmp_path, params, capsys):
     # must surface the mismatch as a failure, not convert wrongly
     with pytest.raises((cw.OnnxConversionError, SystemExit)):
         cw.main(["--vocoder", src, "--out", out])
+
+
+# --------------------------------------- general upsampler family (DAC shape)
+GCFG = None  # initialized lazily to keep module import cheap
+
+
+def _general_cfg(activation="gelu"):
+    import dataclasses
+    return dataclasses.replace(
+        CFG,
+        upsample_kernels=(10, 10, 10, 8, 8),   # k ~ 2s, overlap-add
+        resblock_dilations=(1, 3),
+        resblock_kernel=7,
+        final_conv_kernel=7,
+        activation=activation,
+    )
+
+
+def _general_params(cfg, seed=4):
+    p = jax.tree.map(np.asarray, vocoder.init_vocoder(jax.random.key(seed),
+                                                      cfg))
+    p["transformer"]["head"] = np.zeros_like(p["transformer"]["head"])
+    if cfg.activation == "snake":
+        # non-trivial alphas so a swapped assignment cannot pass
+        rng = np.random.default_rng(9)
+
+        def fill(entry, key):
+            entry[key] = (0.5 + rng.random(entry[key].shape)
+                          ).astype(np.float32)
+
+        for entry in (p["pre_conv"], p["post_a"], p["post_b"], p["final"]):
+            fill(entry, "alpha")
+        for st in p["up"]:
+            fill(st, "alpha")
+            for unit in st.get("res", ()):
+                fill(unit, "alpha1")
+                fill(unit, "alpha2")
+    return p
+
+
+@pytest.mark.parametrize("anonymize", [False, True])
+@pytest.mark.parametrize("activation", ["gelu", "snake"])
+def test_general_vocoder_onnx_roundtrip(tmp_path, anonymize, activation):
+    """BigVGAN/DAC-family fixture (ConvTranspose k!=s with pads, residual
+    dilated units, final conv, optionally snake): validation reports every
+    assumption verified, and both converter paths recover the pytree."""
+    gcfg = _general_cfg(activation)
+    p = _general_params(gcfg)
+    path = str(tmp_path / "dac.onnx")
+    cw.write_vocoder_onnx(path, p, gcfg, anonymize=anonymize)
+
+    report = cw.validate_vocoder_onnx(onnx.read_model(path), gcfg)
+    bad = {k: v for k, v in report.items() if not v.startswith("verified")}
+    assert not bad, bad
+    assert "upsample.kernels" in report
+    assert "conv.residual_units" in report
+
+    got = cw.convert_vocoder_onnx(path, gcfg)
+    _assert_tree_equal(p, got)
+
+
+def test_general_vocoder_auto_derive(tmp_path):
+    """Conversion under the DEFAULT (sequential) config auto-derives the
+    general family from the graph itself — kernels, pads, channels,
+    residual dilations, final conv, snake — and converts with it. This is
+    the real-release path: the caller does not know the family up front."""
+    gcfg = _general_cfg("snake")
+    p = _general_params(gcfg)
+    path = str(tmp_path / "dac_auto.onnx")
+    cw.write_vocoder_onnx(path, p, gcfg, anonymize=True)
+
+    got, derived = cw.convert_vocoder_onnx(path, CFG, return_cfg=True)
+    assert derived.general_upsampler
+    assert derived.upsample_kernels == gcfg.upsample_kernels
+    assert derived.upsample_factors == gcfg.upsample_factors
+    assert derived.upsample_pads == tuple(
+        pl for pl, _ in vocoder.stage_pads(gcfg))
+    assert derived.upsample_channels == tuple(vocoder.up_channels(gcfg)[1:])
+    assert derived.resblock_dilations == gcfg.resblock_dilations
+    assert derived.resblock_kernel == gcfg.resblock_kernel
+    assert derived.final_conv_kernel == gcfg.final_conv_kernel
+    assert derived.activation == "snake"
+    _assert_tree_equal(p, jax.tree.map(np.asarray, got))
+
+    # the derived config actually drives decode
+    import jax.numpy as jnp
+    codes = jnp.asarray(np.random.default_rng(1).integers(
+        0, gcfg.code_vocab, size=(1, 4, gcfg.num_codebooks)), jnp.int32)
+    w1, v1, _ = vocoder.decode(jax.tree.map(jnp.asarray, p), gcfg, codes,
+                               vocoder.init_state(gcfg, 1), True)
+    w2, v2, _ = vocoder.decode(jax.tree.map(jnp.asarray, got), derived,
+                               codes, vocoder.init_state(derived, 1), True)
+    assert v1.tolist() == v2.tolist()
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               rtol=1e-5, atol=1e-6)

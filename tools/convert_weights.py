@@ -28,7 +28,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -95,24 +95,55 @@ def convert_vocoder_state_dict(sd: Dict[str, np.ndarray],
             axis=1))
         layers["w_down"].append(T(p + "mlp.down_proj.weight"))
 
-    def maybe_alpha(key):
+    def maybe_alpha(key, name="alpha"):
         # snake activation (cfg.activation == "snake"): per-channel alphas
-        return ({"alpha": raw(key)} if key in sd else {})
+        return ({name: raw(key)} if key in sd else {})
 
+    extra: Dict[str, Any] = {}
     up = []
-    for i, s in enumerate(cfg.upsample_factors):
-        w = np.asarray(sd[f"decoder.upsample.{i}.weight"], np.float32)
-        c_in, c_out, k = w.shape
-        assert k == s, f"upsample stage {i}: kernel {k} != stride {s}"
-        up.append({
-            "w": np.ascontiguousarray(
-                w.transpose(0, 2, 1).reshape(c_in, s * c_out)),
-            "b": np.tile(np.asarray(sd[f"decoder.upsample.{i}.bias"],
-                                    np.float32), s),
-            **maybe_alpha(f"decoder.upsample.{i}.alpha"),
-        })
+    if cfg.general_upsampler:
+        # DAC/BigVGAN family: ConvTranspose kept in torch IOH layout
+        # [C_in, C_out, k] + residual dilated units + final output conv
+        for i in range(len(cfg.upsample_factors)):
+            p = f"decoder.upsample.{i}"
+            wt = raw(p + ".weight")
+            assert wt.shape[-1] == cfg.upsample_kernels[i], (
+                f"upsample stage {i}: kernel {wt.shape[-1]} != "
+                f"{cfg.upsample_kernels[i]}")
+            entry = {"wt": wt, "b": raw(p + ".bias"),
+                     **maybe_alpha(p + ".alpha")}
+            res = []
+            for j in range(len(cfg.resblock_dilations)):
+                rp = f"{p}.res.{j}"
+                res.append({
+                    "w1": raw(rp + ".conv1.weight"),
+                    "b1": raw(rp + ".conv1.bias"),
+                    "w2": raw(rp + ".conv2.weight"),
+                    "b2": raw(rp + ".conv2.bias"),
+                    **maybe_alpha(rp + ".alpha1", "alpha1"),
+                    **maybe_alpha(rp + ".alpha2", "alpha2"),
+                })
+            if res:
+                entry["res"] = res
+            up.append(entry)
+        extra["final"] = {"w": raw("decoder.final_conv.weight"),
+                          "b": raw("decoder.final_conv.bias"),
+                          **maybe_alpha("decoder.final_conv.alpha")}
+    else:
+        for i, s in enumerate(cfg.upsample_factors):
+            w = np.asarray(sd[f"decoder.upsample.{i}.weight"], np.float32)
+            c_in, c_out, k = w.shape
+            assert k == s, f"upsample stage {i}: kernel {k} != stride {s}"
+            up.append({
+                "w": np.ascontiguousarray(
+                    w.transpose(0, 2, 1).reshape(c_in, s * c_out)),
+                "b": np.tile(np.asarray(sd[f"decoder.upsample.{i}.bias"],
+                                        np.float32), s),
+                **maybe_alpha(f"decoder.upsample.{i}.alpha"),
+            })
 
     return {
+        **extra,
         "embed": embed,
         "pre_conv": {"w": raw("decoder.pre_conv.weight"),
                      "b": raw("decoder.pre_conv.bias"),
@@ -176,15 +207,35 @@ def export_vocoder_state_dict(params: Dict[str, Any],
     sd["decoder.post_conv2.weight"] = np.asarray(params["post_b"]["w"])
     sd["decoder.post_conv2.bias"] = np.asarray(params["post_b"]["b"])
     put_alpha("decoder.post_conv2.alpha", params["post_b"])
-    for i, s in enumerate(cfg.upsample_factors):
-        w2 = np.asarray(params["up"][i]["w"])          # [C_in, s*C_out]
-        c_in = w2.shape[0]
-        c_out = w2.shape[1] // s
-        sd[f"decoder.upsample.{i}.weight"] = np.ascontiguousarray(
-            w2.reshape(c_in, s, c_out).transpose(0, 2, 1))
-        sd[f"decoder.upsample.{i}.bias"] = np.asarray(
-            params["up"][i]["b"])[:c_out]
-        put_alpha(f"decoder.upsample.{i}.alpha", params["up"][i])
+    if cfg.general_upsampler:
+        for i in range(len(cfg.upsample_factors)):
+            st = params["up"][i]
+            p = f"decoder.upsample.{i}"
+            sd[p + ".weight"] = np.asarray(st["wt"])
+            sd[p + ".bias"] = np.asarray(st["b"])
+            put_alpha(p + ".alpha", st)
+            for j, unit in enumerate(st.get("res", ())):
+                rp = f"{p}.res.{j}"
+                sd[rp + ".conv1.weight"] = np.asarray(unit["w1"])
+                sd[rp + ".conv1.bias"] = np.asarray(unit["b1"])
+                sd[rp + ".conv2.weight"] = np.asarray(unit["w2"])
+                sd[rp + ".conv2.bias"] = np.asarray(unit["b2"])
+                if "alpha1" in unit:
+                    sd[rp + ".alpha1"] = np.asarray(unit["alpha1"])
+                    sd[rp + ".alpha2"] = np.asarray(unit["alpha2"])
+        sd["decoder.final_conv.weight"] = np.asarray(params["final"]["w"])
+        sd["decoder.final_conv.bias"] = np.asarray(params["final"]["b"])
+        put_alpha("decoder.final_conv.alpha", params["final"])
+    else:
+        for i, s in enumerate(cfg.upsample_factors):
+            w2 = np.asarray(params["up"][i]["w"])          # [C_in, s*C_out]
+            c_in = w2.shape[0]
+            c_out = w2.shape[1] // s
+            sd[f"decoder.upsample.{i}.weight"] = np.ascontiguousarray(
+                w2.reshape(c_in, s, c_out).transpose(0, 2, 1))
+            sd[f"decoder.upsample.{i}.bias"] = np.asarray(
+                params["up"][i]["b"])[:c_out]
+            put_alpha(f"decoder.upsample.{i}.alpha", params["up"][i])
     return sd
 
 
@@ -454,6 +505,127 @@ def _snake_region(model, prod=None, uses=None, hops=2):
     return region
 
 
+def _skip_chain(model, start: str, target: str, prod, max_depth: int = 24):
+    """Walk producers from tensor `start` looking for tensor `target`.
+    Returns the Conv/ConvTranspose nodes on the found path (None if the
+    target is unreachable) — the structural signature of a residual unit:
+    Add(x, f(x)) where f contains convs."""
+    seen = set()
+
+    def walk(name, depth):
+        if depth > max_depth:
+            return None
+        node = prod.get(name)
+        if node is None or id(node) in seen:
+            return None
+        seen.add(id(node))
+        is_conv = node.op_type in ("Conv", "ConvTranspose")
+        if target in node.inputs:
+            return [node] if is_conv else []
+        for inp in node.inputs:
+            r = walk(inp, depth + 1)
+            if r is not None:
+                return r + [node] if is_conv else r
+        return None
+
+    return walk(start, 0)
+
+
+def _residual_units(model, prod=None) -> list:
+    """DAC/BigVGAN residual units: Add nodes whose one input is reachable
+    from the other through >=1 Conv. Returns [{'add', 'skip', 'convs'}]
+    in graph order. Transformer residuals (MatMul-only chains) and the
+    snake subgraph's internal Add (no convs) do not match."""
+    prod = _producers(model) if prod is None else prod
+    init = model.initializers
+    units = []
+    claimed = set()
+    for n in model.nodes:
+        if n.op_type != "Add" or len(n.inputs) != 2:
+            continue
+        if any(i in init for i in n.inputs):
+            continue
+        for skip, branch in ((n.inputs[0], n.inputs[1]),
+                             (n.inputs[1], n.inputs[0])):
+            convs = _skip_chain(model, branch, skip, prod)
+            if convs and not any(id(c) in claimed for c in convs):
+                units.append({"add": n, "skip": skip, "convs": convs})
+                claimed.update(id(c) for c in convs)
+                break
+    return units
+
+
+def _conv_weight_shape(model, node, prod=None, cache=None):
+    if len(node.inputs) < 2:
+        return None
+    w = model.initializers.get(node.inputs[1])
+    if w is None:
+        w = _const_eval(model, node.inputs[1], prod, cache)
+    return None if w is None else w.shape
+
+
+def _snake_sites(model, prod=None, uses=None):
+    """Anchor each snake activation to its adjacent conv (ADVICE r4: order-
+    based assignment silently swaps same-sized alphas). For every snake
+    subgraph (alpha Mul -> Sin -> ... -> Add), returns
+    (alpha_name, alpha_mul_node, producer_conv, consumer_conv) where
+    producer_conv directly produces the snake's input x (post-activation
+    site) and consumer_conv directly consumes the snake's output Add
+    (pre-activation site); either may be None."""
+    prod = _producers(model) if prod is None else prod
+    uses = _consumers(model) if uses is None else uses
+    init = model.initializers
+    out = []
+    for n in model.nodes:
+        if n.op_type != "Mul" or len(n.inputs) != 2:
+            continue
+        anames = [i for i in n.inputs if i in init
+                  and init[i].ndim == 1]
+        if len(anames) != 1:
+            continue
+        alpha = anames[0]
+        x = next(i for i in n.inputs if i != alpha)
+        # must actually be a snake: Mul -> Sin among consumers
+        if not any(c.op_type == "Sin" for c, _ in uses.get(n.outputs[0], ())):
+            continue
+        # the subgraph's output Add rejoins x: find Add(x, ...) downstream
+        snake_add = None
+        frontier = [n]
+        for _ in range(6):
+            nxt = []
+            for m in frontier:
+                for o in m.outputs:
+                    for c, _ in uses.get(o, ()):
+                        if c.op_type == "Add" and x in c.inputs:
+                            snake_add = c
+                        elif c.op_type in ("Sin", "Mul", "Div"):
+                            nxt.append(c)
+            if snake_add:
+                break
+            frontier = nxt
+        if snake_add is None:
+            continue
+
+        def through_identity(node_):
+            while node_ is not None and node_.op_type == "Identity":
+                node_ = prod.get(node_.inputs[0])
+            return node_
+
+        pc = through_identity(prod.get(x))
+        producer = pc if pc is not None and pc.op_type in (
+            "Conv", "ConvTranspose") else None
+        consumer = None
+        for c, _ in uses.get(snake_add.outputs[0], ()):
+            if c.op_type == "Identity":
+                nxt_uses = uses.get(c.outputs[0], ())
+                c = nxt_uses[0][0] if nxt_uses else None
+            if c is not None and c.op_type in ("Conv", "ConvTranspose"):
+                consumer = c
+                break
+        out.append((alpha, n, producer, consumer))
+    return out
+
+
 def _expected_vocoder_keys(cfg) -> list:
     return list(export_vocoder_state_dict(_vocoder_key_skeleton(cfg), cfg))
 
@@ -527,13 +699,28 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
             w = _const_eval(model, node.inputs[1])
         return int(w.shape[-1]) if w is not None else None
 
-    kks = sorted(kernel(c) for c in convs if kernel(c) is not None)
+    # classify convs: residual-unit members, the 1-channel output conv,
+    # and the 3 trunk convs (pre / centered post1 / causal post2)
+    prod_cls = _producers(model)
+    runits = _residual_units(model, prod_cls)
+    res_ids = {id(c) for u in runits for c in u["convs"]}
+    cache_cls: Dict[str, Any] = {}
+
+    def out_ch(c):
+        shp = _conv_weight_shape(model, c, prod_cls, cache_cls)
+        return None if shp is None else int(shp[0])
+
+    final_convs = [c for c in convs
+                   if id(c) not in res_ids and out_ch(c) == 1]
+    trunk = [c for c in convs
+             if id(c) not in res_ids and c not in final_convs]
+    kks = sorted(kernel(c) for c in trunk if kernel(c) is not None)
     want = sorted([cfg.pre_conv_kernel, 2 * cfg.lookahead + 1,
                    cfg.post_conv_kernel])
-    check("conv.kernels", len(convs) == 3 and kks == want,
-          f"{len(convs)} Conv nodes with kernels {kks}, derived {want} "
-          f"(pre K={cfg.pre_conv_kernel}, centered K=2*{cfg.lookahead}+1, "
-          f"post K={cfg.post_conv_kernel})")
+    check("conv.kernels", len(trunk) == 3 and kks == want,
+          f"{len(trunk)} trunk Conv nodes with kernels {kks}, derived "
+          f"{want} (pre K={cfg.pre_conv_kernel}, centered "
+          f"K=2*{cfg.lookahead}+1, post K={cfg.post_conv_kernel})")
 
     strides = [tuple(n.attrs.get("strides", ())) for n in tconvs]
     check("upsample.factors",
@@ -542,8 +729,22 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
           f"ConvTranspose strides {strides}, derived "
           f"{cfg.upsample_factors}")
     kst = [(kernel(n), n.attrs.get("strides", [None])[0]) for n in tconvs]
-    check("upsample.kernel_eq_stride", all(k == s for k, s in kst),
-          f"kernel/stride pairs {kst} (frame-local matmul form needs k==s)")
+    if cfg.general_upsampler:
+        check("upsample.kernels",
+              [k for k, _ in kst] == list(cfg.upsample_kernels),
+              f"ConvTranspose kernels {[k for k, _ in kst]}, configured "
+              f"{cfg.upsample_kernels}")
+        check("upsample.final_conv",
+              len(final_convs) == 1
+              and kernel(final_convs[0]) == cfg.final_conv_kernel,
+              f"{len(final_convs)} 1-channel output Conv(s) with kernels "
+              f"{[kernel(c) for c in final_convs]}, configured final "
+              f"K={cfg.final_conv_kernel}")
+    else:
+        check("upsample.kernel_eq_stride", all(k == s for k, s in kst),
+              f"kernel/stride pairs {kst} (frame-local matmul form needs "
+              "k==s; a BigVGAN/DAC-family graph converts via "
+              "derive_vocoder_config / cfg.upsample_kernels)")
 
     gathers = [n for n in model.nodes if n.op_type == "Gather"
                and n.inputs and n.inputs[0] in init]
@@ -556,6 +757,8 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
     acts = {k: v for k, v in ops.items()
             if k in ("Sigmoid", "Gelu", "Erf", "Tanh", "Relu", "LeakyRelu",
                      "Elu", "Snake")}
+    if acts.get("Tanh", 0) == 1:
+        acts.pop("Tanh")        # the waveform head's output tanh
     if set(acts) <= {"Sigmoid"} and acts:
         r["mlp.activation"] = "verified"
     else:
@@ -588,19 +791,26 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
     else:
         r["act.snake"] = "verified"
 
-    # residual conv units (ResBlock-style Conv with skip Add): the derived
-    # conv stack is plain sequential. Flag any Add joining a Conv's input
-    # and output (transformer residuals around MatMul blocks are expected
-    # and not matched by this pattern).
-    res_adds = []
-    for c in convs + tconvs:
-        for n in model.nodes:
-            if n.op_type == "Add" and set(n.inputs) >= {
-                    c.inputs[0], c.outputs[0]}:
-                res_adds.append(f"Add({', '.join(n.inputs)})")
-    check("conv.residual_units", not res_adds,
-          f"residual skip around conv: {res_adds[:4]} — derived stack is "
-          "sequential (pre_conv -> transformer -> post_conv1/2 -> upsample)")
+    # residual conv units (Add whose branch holds convs — the DAC/BigVGAN
+    # ResidualUnit shape; transformer MatMul residuals do not match)
+    if cfg.general_upsampler:
+        want_units = len(cfg.upsample_factors) * len(cfg.resblock_dilations)
+        unit_ks = sorted(
+            kernel(c) for u in runits for c in u["convs"]
+            if kernel(c) is not None and kernel(c) > 1)
+        check("conv.residual_units",
+              len(runits) == want_units
+              and all(k == cfg.resblock_kernel for k in unit_ks),
+              f"{len(runits)} residual units (dilated kernels {unit_ks}), "
+              f"configured {want_units} units of "
+              f"K={cfg.resblock_kernel} per stage")
+    else:
+        res_desc = [f"Add({', '.join(u['add'].inputs)})" for u in runits]
+        check("conv.residual_units", not runits,
+              f"residual conv unit(s): {res_desc[:4]} — derived stack is "
+              "sequential (pre_conv -> transformer -> post_conv1/2 -> "
+              "upsample); a BigVGAN/DAC-family graph converts via "
+              "derive_vocoder_config / cfg.resblock_dilations")
 
     # weight-norm folds: conv/matmul weights computed by a subgraph instead
     # of stored as initializers. Foldable ones are fine (the structural
@@ -640,6 +850,96 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
     return r
 
 
+def derive_vocoder_config(model, base_cfg=None):
+    """Infer the upsampler family from the graph itself: ConvTranspose
+    strides/kernels/pads/channels, residual-unit kernel + dilations, final
+    output conv, snake activation. Returns `base_cfg` unchanged (modulo
+    strides/activation) for kernel==stride sequential graphs, a general-
+    family VocoderConfig otherwise. The trunk (pre/transformer/post) is
+    validated separately by validate_vocoder_onnx."""
+    import dataclasses
+    from qwen3_tts_tpu.core.config import VocoderConfig
+
+    cfg = base_cfg or VocoderConfig()
+    prod = _producers(model)
+    cache: Dict[str, Any] = {}
+    tconvs = [n for n in model.nodes if n.op_type == "ConvTranspose"]
+    if not tconvs:
+        raise OnnxConversionError("no ConvTranspose upsampler stages found")
+
+    def wshape(node):
+        shp = _conv_weight_shape(model, node, prod, cache)
+        if shp is None:
+            raise OnnxConversionError(
+                f"{node.op_type} weight is not a constant: "
+                f"{_producer_chain(model, node.inputs[1], prod)}")
+        return shp
+
+    strides = [int(n.attrs.get("strides", [1])[0]) for n in tconvs]
+    kernels = [int(wshape(n)[-1]) for n in tconvs]
+    runits = _residual_units(model, prod)
+    sins = any(n.op_type == "Sin" for n in model.nodes)
+    act = "snake" if sins else "gelu"
+    general = bool(runits) or any(
+        k != s for k, s in zip(kernels, strides))
+    if not general:
+        return dataclasses.replace(cfg, upsample_factors=tuple(strides),
+                                   activation=act)
+
+    chans = tuple(int(wshape(n)[1]) for n in tconvs)      # IOH: C_out
+    pads = tuple(
+        int(n.attrs["pads"][0]) if n.attrs.get("pads")
+        else (k - s + 1) // 2
+        for n, k, s in zip(tconvs, kernels, strides))
+    order = {id(n): i for i, n in enumerate(model.nodes)}
+    tpos = [order[id(n)] for n in tconvs]
+    per_stage: list = [[] for _ in tconvs]
+    kr = None
+    for u in runits:
+        dconvs = [c for c in u["convs"] if wshape(c)[-1] > 1]
+        if not dconvs:
+            raise OnnxConversionError(
+                f"residual unit at Add({u['add'].inputs}) has no conv "
+                "with kernel > 1")
+        c = dconvs[0]
+        k_unit = int(wshape(c)[-1])
+        if kr is None:
+            kr = k_unit
+        elif kr != k_unit:
+            raise OnnxConversionError(
+                f"residual-unit kernels differ ({kr} vs {k_unit}); "
+                "VocoderConfig models one resblock_kernel")
+        pos = order[id(c)]
+        before = [i for i, tp in enumerate(tpos) if tp < pos]
+        if not before:
+            raise OnnxConversionError(
+                "residual unit precedes the first ConvTranspose stage")
+        per_stage[max(before)].append(int(c.attrs.get("dilations", [1])[0]))
+    dil0 = tuple(per_stage[0])
+    if any(tuple(x) != dil0 for x in per_stage):
+        raise OnnxConversionError(
+            f"residual-unit dilations differ per stage: {per_stage}; "
+            "VocoderConfig models one schedule for all stages")
+
+    finals = [n for n in model.nodes if n.op_type == "Conv"
+              and int(wshape(n)[0]) == 1]
+    if len(finals) != 1:
+        raise OnnxConversionError(
+            f"general upsampler needs exactly one 1-channel output Conv, "
+            f"found {len(finals)}")
+    return dataclasses.replace(
+        cfg,
+        upsample_factors=tuple(strides),
+        upsample_kernels=tuple(kernels),
+        upsample_pads=pads,
+        upsample_channels=chans,
+        resblock_kernel=kr if kr is not None else cfg.resblock_kernel,
+        resblock_dilations=dil0,
+        final_conv_kernel=int(wshape(finals[0])[-1]),
+        activation=act,
+    )
+
+
 def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
     """Anonymous-initializer fallback: recover the torch-name state dict by
     walking the graph in topological order and classifying each weighted op
@@ -655,9 +955,8 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
     # never mistaken for an rms-norm scale vector
     wnodes = _weight_subgraph_nodes(model, prod)
     # snake activations: Muls adjacent to Sin carry per-channel alphas, not
-    # rms-norm scales — routed to snake_alphas in graph order
+    # rms-norm scales — anchored to their adjacent convs at the end
     snake_nodes = _snake_region(model, prod)
-    snake_alphas, seen_alpha = [], set()
 
     def wv(node, idx=1):
         name = node.inputs[idx]
@@ -677,6 +976,63 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
         return np.zeros(n_out, np.float32)
 
     sd: Dict[str, np.ndarray] = {}
+    site_of: Dict[int, Tuple[str, str]] = {}   # id(conv) -> (kind, prefix)
+    runits = _residual_units(model, prod)
+    res_ids = {id(c) for u in runits for c in u["convs"]}
+    order = {id(n): i for i, n in enumerate(model.nodes)}
+    tconv_nodes = [n for n in model.nodes if n.op_type == "ConvTranspose"]
+    tpos = [order[id(n)] for n in tconv_nodes]
+
+    if runits and not cfg.general_upsampler:
+        raise OnnxConversionError(
+            f"{len(runits)} residual conv units present but the config is "
+            "the sequential kernel==stride family — derive the general "
+            "config from the graph first (derive_vocoder_config)")
+
+    # residual units -> per-stage conv1 (dilated) / conv2 (1x1) keys
+    if cfg.general_upsampler:
+        stage_units: list = [[] for _ in tconv_nodes]
+        for u in sorted(runits, key=lambda u: order[id(u["add"])]):
+            before = [i for i, tp in enumerate(tpos)
+                      if tp < order[id(u["add"])]]
+            if not before:
+                raise OnnxConversionError(
+                    "residual unit precedes the first ConvTranspose stage")
+            stage_units[max(before)].append(u)
+        n_dil = len(cfg.resblock_dilations)
+        for i, units in enumerate(stage_units):
+            if len(units) != n_dil:
+                raise OnnxConversionError(
+                    f"upsample stage {i}: {len(units)} residual units, "
+                    f"configured {n_dil}")
+            for j, u in enumerate(units):
+                dconvs = [c for c in u["convs"] if wv(c).shape[-1] > 1]
+                pconvs = [c for c in u["convs"] if wv(c).shape[-1] == 1]
+                if len(dconvs) != 1 or len(pconvs) != 1:
+                    raise OnnxConversionError(
+                        f"upsample stage {i} unit {j}: expected one dilated "
+                        f"conv + one 1x1 conv, found kernels "
+                        f"{[wv(c).shape[-1] for c in u['convs']]}")
+                c1, c2 = dconvs[0], pconvs[0]
+                w1 = wv(c1)
+                if w1.shape[-1] != cfg.resblock_kernel:
+                    raise OnnxConversionError(
+                        f"stage {i} unit {j}: dilated kernel "
+                        f"{w1.shape[-1]} != {cfg.resblock_kernel}")
+                d_got = int(c1.attrs.get("dilations", [1])[0])
+                if d_got != cfg.resblock_dilations[j]:
+                    raise OnnxConversionError(
+                        f"stage {i} unit {j}: dilation {d_got} != "
+                        f"{cfg.resblock_dilations[j]}")
+                rp = f"decoder.upsample.{i}.res.{j}"
+                sd[rp + ".conv1.weight"] = w1
+                sd[rp + ".conv1.bias"] = bias(c1, w1.shape[0])
+                w2 = wv(c2)
+                sd[rp + ".conv2.weight"] = w2
+                sd[rp + ".conv2.bias"] = bias(c2, w2.shape[0])
+                site_of[id(c1)] = ("res1", rp)
+                site_of[id(c2)] = ("res2", rp)
+
     books, mats, muls64, muls_h, tconv_i = [], [], [], [], 0
     for node in model.nodes:
         op = node.op_type
@@ -686,9 +1042,13 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
             t = np.asarray(init[node.inputs[0]], np.float32)
             books.extend(t if t.ndim == 3 else [t])
         elif op == "Conv":
+            if id(node) in res_ids:
+                continue                         # mapped with its unit above
             cw = wv(node)
             cb = bias(node, cw.shape[0])
-            if cw.shape[1] == cfg.embed_dim:
+            if cfg.general_upsampler and cw.shape[0] == 1:
+                key, want_k = "decoder.final_conv", cfg.final_conv_kernel
+            elif cw.shape[1] == cfg.embed_dim:
                 key, want_k = "decoder.pre_conv", cfg.pre_conv_kernel
             elif "decoder.post_conv1.weight" not in sd:
                 key, want_k = "decoder.post_conv1", 2 * cfg.lookahead + 1
@@ -699,11 +1059,18 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
                     f"{key}: Conv weight {cw.shape} has kernel "
                     f"{cw.shape[-1]}, derived {want_k}")
             sd[key + ".weight"], sd[key + ".bias"] = cw, cb
+            site_of[id(node)] = ("post", key)
         elif op == "ConvTranspose":
             key = f"decoder.upsample.{tconv_i}"
             cw = wv(node)
+            if cfg.general_upsampler \
+                    and cw.shape[-1] != cfg.upsample_kernels[tconv_i]:
+                raise OnnxConversionError(
+                    f"{key}: ConvTranspose kernel {cw.shape[-1]} != "
+                    f"configured {cfg.upsample_kernels[tconv_i]}")
             sd[key + ".weight"] = cw
             sd[key + ".bias"] = bias(node, cw.shape[1])
+            site_of[id(node)] = ("up", key)
             tconv_i += 1
         elif op in ("MatMul", "Gemm") and len(node.inputs) > 1:
             mv = _const_eval(model, node.inputs[1], prod, cache)
@@ -716,20 +1083,14 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
                     mats.append(np.ascontiguousarray(mv.T))
         elif op == "Mul":
             if id(node) in snake_nodes:
-                for name in node.inputs:
-                    if name in init and init[name].ndim == 1 \
-                            and name not in seen_alpha:
-                        seen_alpha.add(name)
-                        snake_alphas.append(
-                            np.asarray(init[name], np.float32))
-            else:
-                for name in node.inputs:
-                    if name in init and init[name].ndim == 1:
-                        v = np.asarray(init[name], np.float32)
-                        if v.size == cfg.head_dim:
-                            muls64.append(v)
-                        elif v.size == cfg.hidden:
-                            muls_h.append(v)
+                continue     # snake alphas are anchored to convs below
+            for name in node.inputs:
+                if name in init and init[name].ndim == 1:
+                    v = np.asarray(init[name], np.float32)
+                    if v.size == cfg.head_dim:
+                        muls64.append(v)
+                    elif v.size == cfg.hidden:
+                        muls_h.append(v)
 
     L = cfg.n_layers
     checks = [
@@ -774,38 +1135,95 @@ def _structural_vocoder_sd(model, cfg) -> Dict[str, np.ndarray]:
     sd["decoder.norm.weight"] = muls_h[2 * L]
 
     if getattr(cfg, "activation", "gelu") == "snake":
-        from qwen3_tts_tpu.models.vocoder import _upsample_channels
-        chans = _upsample_channels(cfg)
-        want = ([("decoder.pre_conv.alpha", cfg.hidden),
-                 ("decoder.post_conv1.alpha", cfg.hidden),
-                 ("decoder.post_conv2.alpha", cfg.hidden)]
-                + [(f"decoder.upsample.{i}.alpha", chans[i + 1])
-                   for i in range(len(cfg.upsample_factors) - 1)])
-        if len(snake_alphas) != len(want):
-            raise OnnxConversionError(
-                f"snake: found {len(snake_alphas)} alpha vectors, derived "
-                f"{len(want)} (pre, post1, post2, upsample[:-1])")
-        for (key, size), v in zip(want, snake_alphas):
-            if v.size != size:
+        # anchor each alpha to its adjacent conv (pre-activation: the conv
+        # consuming the snake's output; post-activation: the conv producing
+        # its input) instead of relying on global node order, which silently
+        # swaps same-sized alphas when the export emits them out of band
+        uses = _consumers(model)
+        assigned: Dict[str, str] = {}
+        for alpha, _mul, producer, consumer in _snake_sites(model, prod,
+                                                            uses):
+            akey = exp_size = None
+            if cfg.general_upsampler and consumer is not None \
+                    and id(consumer) in site_of:
+                kind, key = site_of[id(consumer)]
+                if kind == "up":        # pre-act of a ConvTranspose stage
+                    akey = key + ".alpha"
+                    exp_size = sd[key + ".weight"].shape[0]   # C_in (IOH)
+                elif kind == "res1":
+                    akey = key + ".alpha1"
+                    exp_size = sd[key + ".conv1.weight"].shape[1]
+                elif kind == "res2":
+                    akey = key + ".alpha2"
+                    exp_size = sd[key + ".conv2.weight"].shape[1]
+                else:                   # the 1-channel output conv
+                    akey = key + ".alpha"
+                    exp_size = sd[key + ".weight"].shape[1]
+            elif producer is not None and id(producer) in site_of:
+                kind, key = site_of[id(producer)]
+                akey = key + ".alpha"
+                exp_size = (sd[key + ".weight"].shape[1] if kind == "up"
+                            else sd[key + ".weight"].shape[0])
+            if akey is None:
                 raise OnnxConversionError(
-                    f"{key}: alpha size {v.size} != derived {size}")
-            sd[key] = v
+                    f"snake alpha {alpha!r} has no adjacent conv anchor "
+                    "(neither its input's producer nor its output's "
+                    "consumer is a mapped Conv/ConvTranspose)")
+            if akey in assigned:
+                raise OnnxConversionError(
+                    f"two snake alphas anchor to {akey}: "
+                    f"{assigned[akey]!r} and {alpha!r}")
+            v = np.asarray(init[alpha], np.float32)
+            if v.size != exp_size:
+                raise OnnxConversionError(
+                    f"{akey}: alpha size {v.size} != site channels "
+                    f"{exp_size}")
+            assigned[akey] = alpha
+            sd[akey] = v
+        want_alphas = [k for k in _expected_vocoder_keys(cfg)
+                       if k.rsplit(".", 1)[-1].startswith("alpha")]
+        missing = [k for k in want_alphas if k not in sd]
+        if missing:
+            raise OnnxConversionError(
+                f"snake: {len(missing)} alpha site(s) unanchored: "
+                f"{missing[:6]}")
     return sd
 
 
-def convert_vocoder_onnx(path: str, cfg=None, force: bool = False
-                         ) -> Dict[str, Any]:
+def convert_vocoder_onnx(path: str, cfg=None, force: bool = False,
+                         return_cfg: bool = False):
     """`qwen3_tts_decoder.onnx` -> models/vocoder.py pytree.
 
     Validates the graph against the derived architecture first (every
     mismatch is reported; fatal unless `force`), then maps initializers by
-    preserved torch names when possible, structurally otherwise.
+    preserved torch names when possible, structurally otherwise. A graph in
+    the BigVGAN/DAC upsampler family (kernel != stride ConvTranspose,
+    residual dilated units, snake) auto-upgrades the config via
+    derive_vocoder_config; pass `return_cfg=True` to get (params, cfg) —
+    the caller needs the derived cfg to run models/vocoder.decode.
     """
     from qwen3_tts_tpu.assets import onnx as onnx_mod
     from qwen3_tts_tpu.core.config import VocoderConfig
 
     cfg = cfg or VocoderConfig()
     model = onnx_mod.read_model(path)
+    if not cfg.general_upsampler:
+        # the graph, not the caller, knows its upsampler family
+        try:
+            derived = derive_vocoder_config(model, cfg)
+        except OnnxConversionError as e:
+            print(f"  [..] family derivation inconclusive ({e}); keeping "
+                  f"the configured family", file=sys.stderr)
+            derived = cfg
+        if derived != cfg:
+            print(f"  [..] graph is in the "
+                  f"{'general (BigVGAN/DAC)' if derived.general_upsampler else 'sequential'}"
+                  f" upsampler family: kernels="
+                  f"{derived.upsample_kernels}, resblock_dilations="
+                  f"{derived.resblock_dilations}, activation="
+                  f"{derived.activation} — converting with the derived "
+                  f"config", file=sys.stderr)
+            cfg = derived
     report = validate_vocoder_onnx(model, cfg)
     bad = {k: v for k, v in report.items()
            if not v.startswith("verified")}
@@ -831,7 +1249,8 @@ def convert_vocoder_onnx(path: str, cfg=None, force: bool = False
                                 for n, s, g in (interesting or diag)[:10])
             raise OnnxConversionError(
                 f"{e} | per-initializer diagnosis: {listing}") from None
-    return convert_vocoder_state_dict(sd, cfg)
+    params = convert_vocoder_state_dict(sd, cfg)
+    return (params, cfg) if return_cfg else params
 
 
 def convert_encoder_onnx(path: str, kind: str, cfg=None) -> Dict[str, Any]:
@@ -916,10 +1335,10 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
         nodes.append(onnx_mod.OnnxNode("Mul", [x, n], [out]))
         return out
 
-    def snake(x, torch_key):
+    def snake(x, akey):
         """Emit the snake subgraph x + sin^2(alpha*x)/alpha when the
-        params carry an alpha for this site (cfg.activation == 'snake')."""
-        akey = torch_key + ".alpha"
+        params carry an alpha at this site (cfg.activation == 'snake');
+        `akey` is the full state-dict alpha key."""
         if akey not in sd:
             return x
         an = iname(akey)
@@ -932,7 +1351,8 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
         nodes.append(onnx_mod.OnnxNode("Add", [x, dv], [out]))
         return out
 
-    def conv(x, torch_key, op="Conv", strides=None):
+    def conv(x, torch_key, op="Conv", strides=None, pads=None,
+             dilations=None):
         w = np.asarray(sd[torch_key + ".weight"], np.float32)
         wn, bn = iname(torch_key + ".weight"), iname(torch_key + ".bias")
         init[wn] = w
@@ -941,6 +1361,10 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
         attrs = {"kernel_shape": [int(w.shape[-1])]}
         if strides:
             attrs["strides"] = [int(strides)]
+        if pads is not None:
+            attrs["pads"] = [int(pads[0]), int(pads[1])]
+        if dilations is not None:
+            attrs["dilations"] = [int(dilations)]
         nodes.append(onnx_mod.OnnxNode(op, [x, wn, bn], [out], attrs=attrs))
         return out
 
@@ -964,7 +1388,7 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
         "Concat", ["pre_conv_history", x], [cat], attrs={"axis": 2}))
     nodes.append(onnx_mod.OnnxNode(
         "Slice", [cat], ["next_pre_conv_history"]))
-    x = snake(conv(cat, "decoder.pre_conv"), "decoder.pre_conv")
+    x = snake(conv(cat, "decoder.pre_conv"), "decoder.pre_conv.alpha")
 
     for li in range(L):
         p = f"decoder.layers.{li}."
@@ -1014,16 +1438,45 @@ def write_vocoder_onnx(path: str, params: Dict[str, Any], cfg=None,
     cat2 = vname()
     nodes.append(onnx_mod.OnnxNode(
         "Concat", ["latent_buffer", x], [cat2], attrs={"axis": 2}))
-    x = snake(conv(cat2, "decoder.post_conv1"), "decoder.post_conv1")
+    x = snake(conv(cat2, "decoder.post_conv1"), "decoder.post_conv1.alpha")
     cat3 = vname()
     nodes.append(onnx_mod.OnnxNode(
         "Concat", ["conv_history", x], [cat3], attrs={"axis": 2}))
-    x = snake(conv(cat3, "decoder.post_conv2"), "decoder.post_conv2")
+    x = snake(conv(cat3, "decoder.post_conv2"), "decoder.post_conv2.alpha")
     nodes.append(onnx_mod.OnnxNode(
         "Identity", [x], ["next_conv_history"]))
-    for i, s in enumerate(cfg.upsample_factors):
-        x = conv(x, f"decoder.upsample.{i}", op="ConvTranspose", strides=s)
-        x = snake(x, f"decoder.upsample.{i}")
+    if cfg.general_upsampler:
+        # DAC/BigVGAN family: act -> ConvTranspose(k != s, explicit pads)
+        # -> residual dilated units; final conv -> Tanh
+        from qwen3_tts_tpu.models.vocoder import stage_pads
+        pads = stage_pads(cfg)
+        for i, s in enumerate(cfg.upsample_factors):
+            p = f"decoder.upsample.{i}"
+            x = snake(x, p + ".alpha")
+            x = conv(x, p, op="ConvTranspose", strides=s, pads=pads[i])
+            for j, d in enumerate(cfg.resblock_dilations):
+                rp = f"{p}.res.{j}"
+                reach = d * (cfg.resblock_kernel - 1)
+                y = snake(x, rp + ".alpha1")
+                y = conv(y, rp + ".conv1", dilations=d,
+                         pads=(reach // 2, reach - reach // 2))
+                y = snake(y, rp + ".alpha2")
+                y = conv(y, rp + ".conv2")
+                r = vname()
+                nodes.append(onnx_mod.OnnxNode("Add", [x, y], [r]))
+                x = r
+        x = snake(x, "decoder.final_conv.alpha")
+        kf = cfg.final_conv_kernel
+        x = conv(x, "decoder.final_conv",
+                 pads=((kf - 1) // 2, kf - 1 - (kf - 1) // 2))
+        t = vname()
+        nodes.append(onnx_mod.OnnxNode("Tanh", [x], [t]))
+        x = t
+    else:
+        for i, s in enumerate(cfg.upsample_factors):
+            x = conv(x, f"decoder.upsample.{i}", op="ConvTranspose",
+                     strides=s)
+            x = snake(x, f"decoder.upsample.{i}.alpha")
     nodes.append(onnx_mod.OnnxNode("Identity", [x], ["final_wav"]))
     nodes.append(onnx_mod.OnnxNode(
         "Shape", [x], ["valid_samples"]))
