@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiny model geometry (CI smoke)")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/qwen3_tts_tpu/xla; 'off' "
+                        "disables) — a restarted process skips the "
+                        "multi-second jit compile")
     return p
 
 
@@ -93,12 +98,16 @@ def main(argv=None) -> int:
                   + "\n  ".join(bad), file=sys.stderr)
 
     try:
+        if args.compile_cache not in (None, "off"):
+            from .tts.engine import enable_compilation_cache
+            enable_compilation_cache(args.compile_cache)
         engine = TtsEngine(
             model_dir=None if args.random_weights else args.model_dir,
             config=config,
             quant=args.quant,
             random_weights=args.random_weights,
             speakers_dir=args.speakers_dir,
+            compile_cache=args.compile_cache != "off",
         )
     except (FileNotFoundError, ValueError) as e:
         print(f"Failed to load models: {e}", file=sys.stderr)

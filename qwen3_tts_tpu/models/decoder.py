@@ -75,11 +75,18 @@ def init_decoder(key: jax.Array, cfg: Config, scale: float = 0.02) -> DecoderPar
     }
 
 
-def init_kv_cache(cfg: Config, batch: int, dtype=None) -> Dict[str, jax.Array]:
+def init_kv_cache(cfg: Config, batch: int, dtype=None,
+                  length: int | None = None) -> Dict[str, jax.Array]:
     """Head-major layout [L, B, n_kv, T, hd]: per-head cache slices are
-    contiguous, which both the dense path and the flash-decode DMA want."""
+    contiguous, which both the dense path and the flash-decode DMA want.
+
+    `length` overrides cfg.max_seq — generation paths size the cache to
+    the actual prompt+budget extent (a decode stream needs nowhere near
+    4096 live slots), which is what lets B=32 talker batches fit HBM.
+    """
     dtype = dtype or jnp.dtype(cfg.dtype)
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads,
+             length or cfg.max_seq, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

@@ -40,6 +40,24 @@ def single_device_mesh() -> Mesh:
     return make_mesh(1, 1)
 
 
+def make_local_mesh(model: int = 1) -> Mesh:
+    """Mesh over THIS process's devices only (host-level DP).
+
+    Programs on a local mesh contain no cross-process collectives, so the
+    per-frame decode loop never crosses DCN: each host runs its own fused
+    generation program over its own utterances, and hosts coordinate only
+    at start/end (barriers, result gathers). This is the scaling design for
+    DP across hosts — pure DP needs no per-frame cross-host traffic at all.
+    TP *across* hosts remains available via the global-mesh path
+    (make_mesh over jax.devices())."""
+    local = list(jax.local_devices())
+    if model <= 0 or len(local) % model:
+        raise ValueError(
+            f"model axis {model} must divide local device count "
+            f"{len(local)}")
+    return make_mesh(len(local) // model, model, devices=local)
+
+
 def shard(mesh: Mesh, tree, specs):
     """device_put a pytree with a matching pytree of PartitionSpecs.
 

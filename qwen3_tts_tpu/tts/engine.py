@@ -42,6 +42,37 @@ from ..utils.tokenizer import load_tokenizer
 from ..utils.voice_file import VoiceFile
 from . import generate, prompt
 
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Persistent XLA compilation cache for the product path.
+
+    The reference pays a dlopen at startup; our equivalent cost is the
+    9-12 s jit compile+warmup of the fused programs. With a persistent
+    cache a RESTARTED process deserializes the executables instead of
+    recompiling, so first-request latency approaches the reference's.
+
+    Resolution: explicit `cache_dir` > env QWEN3_TTS_COMPILE_CACHE
+    ("0"/"" disables) > ~/.cache/qwen3_tts_tpu/xla. Returns the directory
+    in use, or None when disabled. Safe to call more than once.
+    """
+    if cache_dir is None:
+        env = os.environ.get("QWEN3_TTS_COMPILE_CACHE")
+        if env is not None:
+            if env in ("", "0"):
+                return None
+            cache_dir = env
+        else:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "qwen3_tts_tpu", "xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every program (default min sizes skip small ones; the stream
+    # prefill/step programs are exactly what a restart must not recompile)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
+
+
 class TtsEngine:
     def __init__(
         self,
@@ -52,7 +83,12 @@ class TtsEngine:
         random_weights: bool = False,
         seed: int = 0,
         speakers_dir: Optional[str] = None,
+        compile_cache: bool = True,
     ):
+        if compile_cache:
+            # restarted processes deserialize the fused programs instead of
+            # recompiling (see enable_compilation_cache)
+            enable_compilation_cache()
         self.config = config or EngineConfig()
         self.model_dir = model_dir
         self.quant = quant

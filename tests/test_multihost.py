@@ -48,21 +48,27 @@ def test_two_process_gloo_smoke():
     reason="multihost smoke disabled or no localhost sockets",
 )
 def test_scaling_harness(tmp_path):
-    """The 1-vs-2-process weak-scaling harness (VERDICT r2 #7) runs and
-    reports throughput + efficiency. The CPU-Gloo analog's per-frame
-    collective latency is ~1000x ICI's, so only the contract is asserted
-    here — the >=90% BASELINE bar is what this harness measures on a pod."""
+    """The 1-vs-2-process weak-scaling harness (BASELINE >=90% target).
+
+    Host-local DP: each process runs its own fused generation program on
+    its own pinned cores — no cross-process collective in the decode loop —
+    so the 2-process aggregate throughput must track 2x the 1-process one.
+    The official artifact (MULTIHOST_SCALING.json, steps=16 reps=5) records
+    >=0.90; this CI run uses shorter programs where scheduler noise on a
+    2-core box is proportionally larger, so it gates at 0.6 — still far
+    above the 0.078 the pre-host-local design measured."""
     import json
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_scaling.py"),
-         "--steps", "4", "--reps", "2", "--port", "29461"],
+         "--steps", "8", "--reps", "3", "--port", "29461"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, (proc.stdout + proc.stderr)[-3000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "local"
     assert report["throughput_1p_audio_s_per_s"] > 0
     assert report["throughput_2p_audio_s_per_s"] > 0
-    assert 0 < report["scaling_efficiency"] <= 1.5
+    assert report["scaling_efficiency"] > 0.6, report
