@@ -343,7 +343,7 @@ def main() -> int:
 
     # --- supplementary (stderr): batch-8 / batch-16 throughput, int8 / bf16
     # single-stream, and a teacher-forced per-frame quant agreement ladder ---
-    for B_TP in (8, 16):
+    for B_TP in (8, 16, 32):
         try:
             frame_ms_b = measure_gen_batch(
                 models_q, B_TP, f"batch{B_TP}-{headline}",

@@ -169,6 +169,27 @@ class VocoderConfig:
                 assert len(self.upsample_channels) == n
 
 
+def save_vocoder_config(path: str, cfg: "VocoderConfig") -> None:
+    """Persist a (possibly graph-derived) vocoder architecture next to its
+    checkpoint, so loading deserializes against the right config."""
+    import json
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1)
+
+
+def load_vocoder_config(path: str) -> "VocoderConfig":
+    import json
+    with open(path) as f:
+        raw = json.load(f)
+
+    def detuple(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    known = {f.name for f in dataclasses.fields(VocoderConfig)}
+    return VocoderConfig(**{k: detuple(v) for k, v in raw.items()
+                            if k in known})
+
+
 @dataclasses.dataclass(frozen=True)
 class MelConfig:
     """Librosa-aligned mel frontend (reference: src/models/onnx.rs:167-320)."""

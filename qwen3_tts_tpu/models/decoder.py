@@ -160,7 +160,8 @@ def forward(
     # traffic scales with the valid cache prefix instead of max_seq, and the
     # pre-update-cache formulation avoids read-after-write copies of the
     # carried cache at any batch size.
-    use_flash = S == 1 and flash_decode.usable(cfg)
+    use_flash = S == 1 and flash_decode.usable(
+        cfg, cache_window=cache["k"].shape[3])
 
     pos4 = rope.mrope_positions(positions)
     cos, sin = rope.rope_angles(pos4, cfg.mrope_sections, hd, cfg.rope_theta)

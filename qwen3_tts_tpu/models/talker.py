@@ -54,7 +54,8 @@ def step(
     cache)."""
     B = feedback.shape[0]
     slot = jnp.asarray(slot, jnp.int32)
-    if fused_talker.usable(cfg, B, params):
+    if fused_talker.usable(cfg, B, params,
+                           cache_window=cache["k"].shape[3]):
         # whole decode step in ONE Pallas launch (ops/fused_talker.py);
         # QWEN3_TTS_NO_FUSED_TALKER=1 forces the XLA path below
         slot_b = jnp.broadcast_to(slot, (B,))

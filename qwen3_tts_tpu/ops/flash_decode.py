@@ -212,7 +212,7 @@ def decode_attention(q, k, v, k_new, v_new, kv_len, kv_valid_from, *,
         kv_valid_from, interpret=interpret)
 
 
-def usable(cfg, cache_dtype=None) -> bool:
+def usable(cfg, cache_dtype=None, cache_window=None) -> bool:
     """Static eligibility: decode-step shapes this kernel supports.
 
     DEFAULT ON for TPU decode steps since the on-device A/B
@@ -236,6 +236,6 @@ def usable(cfg, cache_dtype=None) -> bool:
     return (
         backend not in ("cpu",)
         and cfg.head_dim % 64 == 0
-        and cfg.max_seq % BLK == 0
+        and (cache_window or cfg.max_seq) % BLK == 0
         and cfg.n_q_heads % cfg.n_kv_heads == 0
     )

@@ -91,7 +91,6 @@ def _kernel_body(cfg, B, int4, refs):
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
     g = nq // nk
     F = cfg.ffn_dim
-    T = cfg.max_seq
     V = cfg.vocab
     NQKV = (nq + 2 * nk) * hd
     dt = jnp.dtype(cfg.dtype)
@@ -451,7 +450,7 @@ def talker_step_fused(
 
     H, L, V = cfg.hidden, cfg.n_layers, cfg.vocab
     nq, nk, hd = cfg.n_q_heads, cfg.n_kv_heads, cfg.head_dim
-    F, T = cfg.ffn_dim, cfg.max_seq
+    F, T = cfg.ffn_dim, k_cache.shape[3]
     NQKV = (nq + 2 * nk) * hd
     dt = jnp.dtype(cfg.dtype)
     B = x.shape[0]
@@ -597,7 +596,8 @@ def talker_step_fused(
     return hidden[:B], logits[:B], k_out, v_out
 
 
-def usable(cfg, batch: int, params=None) -> bool:
+def usable(cfg, batch: int, params=None,
+           cache_window=None) -> bool:
     """Static eligibility of the fused talker step for compiled execution."""
     if os.environ.get("QWEN3_TTS_NO_FUSED_TALKER") == "1":
         return False
@@ -618,10 +618,12 @@ def usable(cfg, batch: int, params=None) -> bool:
         and NQKV % 256 == 0
         and (2 * F) % 256 == 0
         and V % 128 == 0
-        and cfg.max_seq % ABLK == 0
+        and (cache_window or cfg.max_seq) % ABLK == 0
         and cfg.n_q_heads % 8 == 0              # per-row q slices must be
                                                 # sublane-aligned f32 tiles
-        and batch <= 16                         # Ra/knew/vnew VMEM budget
+        and batch <= 32                         # Ra/knew/vnew VMEM budget
+                                                # (32 validated on v5e with
+                                                # the 256-slot KV window)
     )
     if ok and params is not None and quant_mod.is_quantized4(
             params["layers"]["wqkv"]):

@@ -129,6 +129,21 @@ class TtsEngine:
             assets = tables.load_assets(
                 qdir if os.path.exists(
                     os.path.join(qdir, "qwen3_assets.gguf")) else model_dir)
+            # a converted release persists its (possibly graph-derived)
+            # vocoder architecture — e.g. the BigVGAN/DAC general upsampler
+            # family — next to vocoder.npz; the engine must deserialize
+            # and decode against THAT config, keeping only the caller's
+            # serving dtype choice
+            vcfg_path = resolve("vocoder_config.json")
+            if os.path.exists(vcfg_path):
+                import dataclasses
+
+                from ..core.config import load_vocoder_config
+                vcfg = dataclasses.replace(load_vocoder_config(vcfg_path),
+                                           dtype=cfg.vocoder.dtype)
+                if vcfg != cfg.vocoder:
+                    cfg = dataclasses.replace(cfg, vocoder=vcfg)
+                    self.config = cfg
             like_v = jax.eval_shape(
                 lambda: vocoder.init_vocoder(jax.random.key(0), cfg.vocoder))
             self.models = {
@@ -230,6 +245,15 @@ class TtsEngine:
                 lambda a: jnp.asarray(a, jnp.float32)
                 if jnp.asarray(a).dtype == jnp.bfloat16 else a,
                 self.vocoder_params))
+        # persist the vocoder architecture (general-family configs cannot
+        # be reconstructed from the npz alone); stored with the f32
+        # checkpoint dtype — the loader re-applies its serving dtype
+        import dataclasses
+
+        from ..core.config import save_vocoder_config
+        save_vocoder_config(
+            os.path.join(out_dir, "vocoder_config.json"),
+            dataclasses.replace(self.config.vocoder, dtype="float32"))
         a = self.models["assets"]
         tensors = {
             "proj.weight": np.asarray(a.proj_weight, np.float32),

@@ -126,7 +126,8 @@ def _frame_body(
     # past the cache stop cleanly instead of clamp-corrupting the last slot.
     # `slot` is scalar (single/stream) or [B] (continuous batching); both
     # broadcast against done [B].
-    ctx_full = state["slot"] >= talker_cfg.max_seq
+    cache_cap = state["cache"]["k"].shape[3]      # <= max_seq
+    ctx_full = state["slot"] >= cache_cap
     done = state["done"] | eos | ctx_full
     active = ~done                                            # emits a frame
 
@@ -138,7 +139,7 @@ def _frame_body(
     # done rows keep being stepped (batch-shared program); clamping their
     # write position to the last slot only ever touches rows that are
     # already done, so live rows never see a corrupted cache.
-    write_slot = jnp.minimum(state["slot"], talker_cfg.max_seq - 1)
+    write_slot = jnp.minimum(state["slot"], cache_cap - 1)
     hidden, logits, cache = talker.step(
         models["talker"], talker_cfg, fb.astype(jnp.dtype(talker_cfg.dtype)),
         write_slot, state["pad_offset"], state["cache"],
@@ -150,12 +151,22 @@ def _frame_body(
         hidden=hidden,
         logits=logits,
         cache=cache,
-        slot=jnp.minimum(state["slot"] + 1, talker_cfg.max_seq),
+        slot=jnp.minimum(state["slot"] + 1, cache_cap),
         step=state["step"] + 1,
         done=done,
         n_frames=state["n_frames"] + active.astype(jnp.int32),
     )
     return new_state, codes, active
+
+
+def cache_window(talker_cfg: TalkerConfig, prompt_len: int,
+                 max_steps: int) -> int:
+    """Talker KV extent for a bounded generation: prompt + frame budget,
+    256-aligned (flash/fused kernel block size), capped at max_seq. The
+    default 4096-slot cache is 469 MB/row on the flagship talker — sizing
+    to the actual extent is what lets B=32 batches fit HBM."""
+    need = prompt_len + max_steps + 1
+    return min(talker_cfg.max_seq, -(-need // 256) * 256)
 
 
 def init_state(
@@ -166,10 +177,11 @@ def init_state(
     key: jax.Array,
     temperature: float,
     top_p: float,
+    cache_len: int | None = None,
 ) -> GenState:
     """Talker prefill -> initial generation state (src/tts/engine.rs:456-462)."""
     B, S, _ = prompt_embeds.shape
-    cache = decoder.init_kv_cache(talker_cfg, B)
+    cache = decoder.init_kv_cache(talker_cfg, B, length=cache_len)
     hidden, logits, cache = talker.prefill(
         models["talker"], talker_cfg,
         prompt_embeds.astype(jnp.dtype(talker_cfg.dtype)), pad_offset, cache,
@@ -216,7 +228,9 @@ def generate_codes(
     """
     B = prompt_embeds.shape[0]
     state = init_state(
-        models, talker_cfg, prompt_embeds, pad_offset, key, temperature, top_p
+        models, talker_cfg, prompt_embeds, pad_offset, key, temperature,
+        top_p,
+        cache_len=cache_window(talker_cfg, prompt_embeds.shape[1], max_steps),
     )
     codes_buf = jnp.zeros((B, max_steps, protocol.NUM_CODEBOOKS), jnp.int32)
 

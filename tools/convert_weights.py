@@ -1565,8 +1565,20 @@ def main(argv=None) -> int:
 
     if args.vocoder:
         if args.vocoder.endswith(".onnx"):
-            _convert_onnx(args.vocoder, convert_vocoder_onnx, "vocoder.npz",
-                          force=args.force)
+            params, vcfg = convert_vocoder_onnx(args.vocoder,
+                                                force=args.force,
+                                                return_cfg=True)
+            out_path = os.path.join(args.out, "vocoder.npz")
+            checkpoint.save_pytree(out_path, params)
+            # persist the (possibly graph-derived) architecture so the
+            # engine deserializes the npz against the right config — this
+            # is what makes a BigVGAN/DAC-family release actually servable
+            from qwen3_tts_tpu.core.config import save_vocoder_config
+            save_vocoder_config(os.path.join(args.out,
+                                             "vocoder_config.json"), vcfg)
+            print(f"vocoder: {args.vocoder} -> {out_path} "
+                  f"(family={'general' if vcfg.general_upsampler else 'sequential'},"
+                  f" activation={vcfg.activation})")
         else:
             _convert_sd(args.vocoder, convert_vocoder_state_dict,
                         "vocoder.npz")

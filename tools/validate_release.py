@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Release-validation one-shot: real downloaded weights -> pass/fail JSON.
+
+The first day this framework meets the real released files must be a
+COMMAND, not a debugging session. Given a model directory in the
+downloader's layout (`src/download.rs:55-101`):
+
+    tokenizer/tokenizer.json
+    onnx/qwen3_tts_decoder.onnx            [+ optional encoder graphs]
+    <quant>/qwen3_assets.gguf
+    <quant>/qwen3_tts_{talker,predictor}.gguf
+
+this tool runs, in order: manifest check, tokenizer load, assets-GGUF
+load + protocol-shape checks, talker/predictor GGUF geometry + conversion,
+vocoder ONNX validation + conversion (auto-deriving the upsampler family —
+sequential or BigVGAN/DAC general — and persisting vocoder_config.json so
+the engine serves it), optional encoder conversion, and a short end-to-end
+synthesis through TtsEngine. It prints one JSON line:
+
+    {"pass": true|false, "checks": {...}, "model_dir": ...}
+
+and exits 0 on pass / 1 on any failed check. tests/test_validate_release.py
+drives it against a synthetic fixture release end-to-end.
+
+Usage:
+  python tools/validate_release.py --model-dir models [--quant none]
+      [--geometry auto|flagship|tiny] [--steps 12] [--skip-synthesis]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--quant", default="none",
+                    choices=("none", "q5_k_m", "q8_0"))
+    ap.add_argument("--geometry", default="auto",
+                    choices=("auto", "flagship", "tiny"),
+                    help="engine geometry; 'auto' reads it from the talker/"
+                         "predictor GGUF metadata")
+    ap.add_argument("--steps", type=int, default=12,
+                    help="frames for the synthesis smoke")
+    ap.add_argument("--skip-synthesis", action="store_true")
+    ap.add_argument("--wav-out", default=None,
+                    help="write the synthesis smoke's waveform here")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from qwen3_tts_tpu import download
+    from qwen3_tts_tpu.assets import checkpoint, tables
+    from qwen3_tts_tpu.core.config import (EngineConfig, SamplerConfig,
+                                           save_vocoder_config,
+                                           tiny_engine_config)
+    from qwen3_tts_tpu.utils.tokenizer import load_tokenizer
+    import convert_weights as cw
+
+    checks: dict = {}
+
+    def run(name, fn, fatal=True):
+        try:
+            detail = fn()
+            checks[name] = {"status": "pass",
+                            **({"detail": detail} if detail else {})}
+            return True
+        except Exception as e:
+            checks[name] = {"status": "fail",
+                            "detail": f"{type(e).__name__}: {e}"}
+            if not isinstance(e, (ValueError, FileNotFoundError,
+                                  KeyError, AssertionError,
+                                  cw.OnnxConversionError)):
+                traceback.print_exc()
+            return fatal and False
+
+    def skip(name, why):
+        checks[name] = {"status": "skip", "detail": why}
+
+    mdir = args.model_dir
+    qdir = os.path.join(mdir, download.quant_dir(args.quant))
+
+    # 1. manifest ----------------------------------------------------------
+    def check_manifest():
+        missing = [rel for rel, _ in download.manifest(args.quant)
+                   if not os.path.exists(os.path.join(mdir, rel))]
+        assert not missing, f"missing release files: {missing}"
+        return f"{len(download.manifest(args.quant))} files present"
+
+    ok = run("manifest", check_manifest)
+    if not ok:
+        print(json.dumps({"pass": False, "checks": checks,
+                          "model_dir": mdir}), flush=True)
+        return 1
+
+    # 2. tokenizer ---------------------------------------------------------
+    def check_tokenizer():
+        tok = load_tokenizer(mdir)
+        assert tok.warning is None, tok.warning
+        ids = tok.encode("你好, hello world")
+        assert ids, "tokenizer produced no ids"
+        return f"real tokenizer.json, {len(ids)} ids for the probe string"
+
+    ok &= run("tokenizer", check_tokenizer)
+
+    # 3. assets GGUF -------------------------------------------------------
+    def check_assets():
+        a = tables.load_assets(qdir)
+        rows = a.codec_tables.shape
+        assert rows[0] == 16, f"{rows[0]} codec tables != 16"
+        assert rows[1] >= 2161, (
+            f"codec table rows {rows[1]} < 2161 (protocol ids BOS=2149/"
+            "EOS=2150/codec-BOS=2160 must exist)")
+        assert a.proj_weight.shape[1] == a.text_table.shape[1], (
+            f"proj {a.proj_weight.shape} does not consume text-table dim "
+            f"{a.text_table.shape[1]}")
+        return (f"text {tuple(a.text_table.shape)}, codec {tuple(rows)}, "
+                f"proj {tuple(a.proj_weight.shape)}")
+
+    ok &= run("assets_gguf", check_assets)
+
+    # 4. talker / predictor GGUF ------------------------------------------
+    geometries = {}
+
+    def check_decoder(kind):
+        def fn():
+            path = os.path.join(qdir, f"qwen3_tts_{kind}.gguf")
+            gcfg, params = cw.convert_llama_gguf(path, kind)
+            n = sum(int(np.prod(np.asarray(v).shape))
+                    for v in __import__("jax").tree.leaves(params))
+            geometries[kind] = gcfg
+            return (f"hidden={gcfg.hidden} L={gcfg.n_layers} "
+                    f"heads={gcfg.n_q_heads}/{gcfg.n_kv_heads} "
+                    f"ffn={gcfg.ffn_dim} ({n/1e6:.0f}M params)")
+        return fn
+
+    ok &= run("talker_gguf", check_decoder("talker"))
+    ok &= run("predictor_gguf", check_decoder("predictor"))
+
+    # 5. vocoder ONNX ------------------------------------------------------
+    vcfg_box = {}
+
+    def check_vocoder():
+        path = os.path.join(mdir, "onnx", "qwen3_tts_decoder.onnx")
+        base = None
+        if args.geometry == "tiny":
+            base = tiny_engine_config().vocoder
+        params, vcfg = cw.convert_vocoder_onnx(path, base, return_cfg=True)
+        checkpoint.save_pytree(os.path.join(qdir, "vocoder.npz"), params)
+        save_vocoder_config(os.path.join(qdir, "vocoder_config.json"),
+                            vcfg)
+        vcfg_box["cfg"] = vcfg
+        fam = "general (BigVGAN/DAC)" if vcfg.general_upsampler \
+            else "sequential"
+        return (f"family={fam}, activation={vcfg.activation}, "
+                f"strides={vcfg.upsample_factors}, converted -> "
+                f"{qdir}/vocoder.npz")
+
+    ok &= run("vocoder_onnx", check_vocoder)
+
+    # 6. optional encoders -------------------------------------------------
+    for kind, fname, out in (
+            ("audio", "qwen3_tts_codec_encoder.onnx", "audio_encoder.npz"),
+            ("speaker", "qwen3_tts_speaker_encoder.onnx",
+             "speaker_encoder.npz")):
+        path = os.path.join(mdir, "onnx", fname)
+        if not os.path.exists(path):
+            skip(f"{kind}_encoder_onnx",
+                 f"{fname} not in release (cloning disabled, preset "
+                 "speakers unaffected — src/tts/engine.rs:108-120)")
+            continue
+
+        def conv(p=path, k=kind, o=out):
+            params = cw.convert_encoder_onnx(p, k)
+            checkpoint.save_pytree(os.path.join(mdir, o), params)
+            return f"converted -> {o}"
+
+        ok &= run(f"{kind}_encoder_onnx", conv)
+
+    # 7. end-to-end synthesis ---------------------------------------------
+    if args.skip_synthesis:
+        skip("synthesis", "--skip-synthesis")
+    elif not ok:
+        skip("synthesis", "earlier checks failed")
+    else:
+        def check_synthesis():
+            from qwen3_tts_tpu.tts.engine import TtsEngine
+
+            if args.geometry == "tiny":
+                cfg = tiny_engine_config()
+            elif args.geometry == "flagship":
+                cfg = EngineConfig()
+            else:
+                t, p = geometries["talker"], geometries["predictor"]
+                cfg = dataclasses.replace(EngineConfig(), talker=t,
+                                          predictor=p)
+            if "cfg" in vcfg_box:
+                cfg = dataclasses.replace(cfg, vocoder=vcfg_box["cfg"])
+            eng = TtsEngine(model_dir=mdir, config=cfg, quant=args.quant)
+            eng.set_max_steps(args.steps)
+            eng.set_sampler_config(SamplerConfig(
+                temperature=0.0, top_k=0, top_p=1.0, seed=0))
+            try:
+                spk = eng.get_speaker("vivian")
+            except RuntimeError:
+                from qwen3_tts_tpu.utils.voice_file import VoiceFile
+                spk = VoiceFile(speaker_embedding=np.zeros(
+                    cfg.talker.hidden, np.float32).tolist())
+            audio = eng.generate_with_voice("hello from the release "
+                                            "validator", spk)
+            w = np.asarray(audio.samples)
+            assert w.size > 0, "empty waveform"
+            assert np.isfinite(w).all(), "non-finite samples"
+            assert float(np.abs(w).max()) > 0, "silent waveform"
+            if args.wav_out:
+                audio.save_wav(args.wav_out)
+            return (f"{w.size} samples, {audio.duration():.2f}s, "
+                    f"peak {float(np.abs(w).max()):.3f}")
+
+        ok &= run("synthesis", check_synthesis)
+
+    print(json.dumps({"pass": bool(ok), "checks": checks,
+                      "model_dir": mdir}), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
