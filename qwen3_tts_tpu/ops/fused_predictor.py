@@ -423,12 +423,17 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
             x_ref[:] = x_ref[:] + dn
             return ()
 
-        # QWEN3_TTS_PRED_UNROLL=1: inline the L layer iterations so Mosaic
-        # can schedule across layer boundaries (the kernel floor is
-        # op-latency-bound). Trace-time knob; default off pending a
-        # measured win.
-        if os.environ.get("QWEN3_TTS_PRED_UNROLL") == "1":
+        # QWEN3_TTS_PRED_UNROLL=N: partially inline the L layer iterations
+        # so Mosaic can schedule across layer boundaries (the kernel floor
+        # is op-latency-bound: ~10-12 us of per-pass orchestration x 136
+        # passes). Full unroll ("1"/"8") was a measured regression on r4
+        # (3.93 vs 3.55 ms/frame: 8x code outweighs the loop control);
+        # partial factors trade the two. Trace-time knob; default off.
+        unroll_env = os.environ.get("QWEN3_TTS_PRED_UNROLL")
+        if unroll_env == "1":
             jax.lax.fori_loop(0, L, layer, (), unroll=True)
+        elif unroll_env and unroll_env.isdigit() and int(unroll_env) > 1:
+            jax.lax.fori_loop(0, L, layer, (), unroll=int(unroll_env))
         else:
             jax.lax.fori_loop(0, L, layer, ())
 

@@ -510,14 +510,23 @@ class TtsEngine:
         # src/tts/engine.rs:133): prompt slots + frames must fit the cache
         room = cfg.talker.max_seq - int(batch.shape[1])
         steps = min(self.max_steps, max(room, 1), cfg.vocoder.max_frames)
+        # bucket the compiled extent to a few static sizes and stop at the
+        # exact request cap dynamically: distinct max-steps values share a
+        # program (one compile, bounded dead vocoder work past EOS)
+        bucket = steps
+        for b in (64, 128, 256, 512, 1024):
+            if steps <= b <= max(room, 1) and b <= cfg.vocoder.max_frames:
+                bucket = b
+                break
         # ONE device program end-to-end (generation while_loop -> vocoder):
         # no host round-trip between codes and waveform. Identical output
         # to the two-step bucketed path (generate.generate_audio docstring).
         wav, n_frames = generate.generate_audio(
             self.models, self.vocoder_params, cfg.talker, cfg.predictor,
             cfg.vocoder, batch, offsets, self._seed_key(),
-            sc.temperature, sc.top_k, sc.top_p, steps,
+            sc.temperature, sc.top_k, sc.top_p, bucket,
             fused_rows=self._fused_rows,
+            step_cap=jnp.int32(steps),
         )
         wav = np.asarray(wav)
         n_frames = np.asarray(n_frames)

@@ -220,13 +220,21 @@ def generate_codes(
     max_steps: int,
     fused_rows: int = 0,
     ignore_eos: bool = False,
+    step_cap: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused offline generation: whole loop on device.
 
     Returns (codes [B, max_steps, 16] int32 — rows zero-filled past each
     utterance's EOS — and n_frames [B] int32).
+
+    `step_cap` (dynamic scalar <= max_steps) stops the loop early without
+    changing the compiled extent: the engine buckets `max_steps` to a few
+    static sizes and passes the exact per-request cap here, so distinct
+    request lengths share one compiled program (ADVICE r4).
     """
     B = prompt_embeds.shape[0]
+    cap = jnp.minimum(jnp.asarray(
+        max_steps if step_cap is None else step_cap, jnp.int32), max_steps)
     state = init_state(
         models, talker_cfg, prompt_embeds, pad_offset, key, temperature,
         top_p,
@@ -236,7 +244,7 @@ def generate_codes(
 
     def cond(carry):
         state, _ = carry
-        return (state["step"] < max_steps) & ~jnp.all(state["done"])
+        return (state["step"] < cap) & ~jnp.all(state["done"])
 
     def body(carry):
         state, buf = carry
@@ -275,10 +283,11 @@ def generate_audio(
     max_steps: int,
     fused_rows: int = 0,
     ignore_eos: bool = False,
+    step_cap: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Offline synthesis as ONE device program: the fused generation
     while_loop feeding the vocoder's one-shot decode, no host round-trip
-    between them.
+    between them. `step_cap` buckets request lengths (see generate_codes).
 
     Returns (wav [B, (max_steps+lookahead)*frame_samples] f32, n_frames
     [B]); callers trim each row to n_frames * frame_samples. Rows past a
@@ -291,6 +300,7 @@ def generate_audio(
     codes, n_frames = generate_codes(
         models, talker_cfg, pred_cfg, prompt_embeds, pad_offset, key,
         temperature, top_k, top_p, max_steps, fused_rows, ignore_eos,
+        step_cap,
     )
     B = codes.shape[0]
     wav, _, _ = vocoder.decode(

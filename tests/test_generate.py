@@ -177,3 +177,23 @@ def test_generate_audio_matches_two_step(models):
         n = int(n1[b]) * vcfg.frame_samples
         np.testing.assert_array_equal(
             np.asarray(wav1)[b, :n], np.asarray(wav2)[b, :n])
+
+
+def test_step_cap_bucket_matches_exact(models):
+    """Bucketed extent + dynamic step_cap (the engine's one-compile-many-
+    lengths path) must produce the same frames as compiling the exact
+    extent."""
+    prompt = _prompt(1, 8)
+    pad = jnp.zeros((1,), jnp.int32)
+    key = jax.random.key(3)
+    exact_codes, exact_n = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt, pad, key,
+        0.0, 0, 1.0, 5)
+    buck_codes, buck_n = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt, pad, key,
+        0.0, 0, 1.0, 12, step_cap=jnp.int32(5))
+    assert int(exact_n[0]) == int(buck_n[0])
+    n = int(exact_n[0])
+    np.testing.assert_array_equal(np.asarray(exact_codes[0, :n]),
+                                  np.asarray(buck_codes[0, :n]))
+    np.testing.assert_array_equal(np.asarray(buck_codes[0, n:]), 0)
