@@ -432,8 +432,18 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
         unroll_env = os.environ.get("QWEN3_TTS_PRED_UNROLL")
         if unroll_env == "1":
             jax.lax.fori_loop(0, L, layer, (), unroll=True)
-        elif unroll_env and unroll_env.isdigit() and int(unroll_env) > 1:
-            jax.lax.fori_loop(0, L, layer, (), unroll=int(unroll_env))
+        elif (unroll_env and unroll_env.isdigit() and 1 < int(unroll_env) < L
+              and L % int(unroll_env) == 0):
+            # Mosaic's fori_loop only supports none/full unroll, so partial
+            # factors are hand-rolled: n layer bodies per loop iteration
+            n = int(unroll_env)
+
+            def layer_n(j, _):
+                for t in range(n):
+                    layer(j * n + t, ())
+                return ()
+
+            jax.lax.fori_loop(0, L // n, layer_n, ())
         else:
             jax.lax.fori_loop(0, L, layer, ())
 

@@ -52,11 +52,19 @@ class ServingEngine:
     """Multi-stream streaming TTS over one device batch."""
 
     def __init__(self, engine: TtsEngine, max_streams: int = 4,
-                 chunk_frames: int = P.STREAM_CHUNK_FRAMES):
+                 chunk_frames: int = P.STREAM_CHUNK_FRAMES,
+                 kv_window: Optional[int] = None):
+        """`kv_window` bounds every slot's talker KV extent (256-aligned
+        recommended): serving rarely needs max_seq=4096 live slots per
+        stream, and the default cache is 469 MB/row on the flagship talker
+        — a 1024-slot window fits 4x the streams in the same HBM. Streams
+        whose prompt+frames would exceed the window stop cleanly at it
+        (the same context-cap semantics as max_seq)."""
         self.engine = engine
         self.cfg: EngineConfig = engine.config
         self.B = max_streams
         self.chunk_frames = chunk_frames
+        self.kv_window = kv_window
         self.slots = runtime.SlotManager(max_streams)
         self.streams: Dict[int, _Stream] = {}
         self._slot_stream: Dict[int, int] = {}
@@ -68,7 +76,7 @@ class ServingEngine:
         self._vstate = vocoder.init_state(cfg.vocoder, max_streams)
 
         sc = engine.sampler_config
-        if (chunk_frames == P.STREAM_CHUNK_FRAMES
+        if (chunk_frames == P.STREAM_CHUNK_FRAMES and kv_window is None
                 and hasattr(engine, "_get_stream_fns")):
             # share the engine's memoised pair so warmup_streaming() compiles
             # carry over to serving
@@ -77,7 +85,8 @@ class ServingEngine:
             self._prefill_fn, self._step_fn = generate.make_stream_fns(
                 tcfg, cfg.predictor, top_k=sc.top_k,
                 frames_per_call=chunk_frames,
-                fused_rows=getattr(engine, "_fused_rows", 0))
+                fused_rows=getattr(engine, "_fused_rows", 0),
+                cache_len=kv_window)
 
     def warmup(self) -> None:
         """Precompile the serving-batch step (per-row slot vector state — a
@@ -103,7 +112,7 @@ class ServingEngine:
             key=jax.random.key(0),
             hidden=jnp.zeros((B, cfg.hidden), jnp.dtype(cfg.dtype)),
             logits=jnp.full((B, cfg.vocab), -1e9, jnp.float32),
-            cache=decoder.init_kv_cache(cfg, B),
+            cache=decoder.init_kv_cache(cfg, B, length=self.kv_window),
             slot=jnp.zeros((B,), jnp.int32),   # per-row cache positions
             step=jnp.int32(0),
             pad_offset=jnp.zeros((B,), jnp.int32),
@@ -127,8 +136,14 @@ class ServingEngine:
         try:
             data = self.engine._prompt_for_voice(text, voice, instruct)
             # rejects admissions whose prompt alone fills the talker context
-            # (n_ctx=4096, src/tts/engine.rs:133): no room for even 1 frame
+            # (n_ctx=4096, src/tts/engine.rs:133) or the serving KV window:
+            # no room for even 1 frame
             batch1, offs1 = self.engine._pad_prompts([data.embeds])
+            if self.kv_window is not None \
+                    and batch1.shape[1] >= self.kv_window:
+                raise ValueError(
+                    f"prompt ({batch1.shape[1]} slots) fills the serving "
+                    f"KV window ({self.kv_window})")
         except Exception as e:   # bad voice/text must not poison the batch
             self.slots.release(slot)
             s = _Stream(stream_id=sid, slot=-1, on_chunk=on_chunk,

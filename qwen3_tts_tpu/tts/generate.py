@@ -310,19 +310,20 @@ def generate_audio(
 
 def make_stream_fns(talker_cfg: TalkerConfig, pred_cfg: PredictorConfig,
                     top_k: int, frames_per_call: int = 1,
-                    fused_rows: int = 0):
+                    fused_rows: int = 0, cache_len: int | None = None):
     """Jitted (prefill_fn, step_fn) for streaming generation.
 
     step_fn advances `frames_per_call` frames per host round-trip (a scan), so
     a 4-frame vocoder chunk costs one dispatch. The host checks `done` and
-    forwards emitted codes to the vocoder pipeline.
+    forwards emitted codes to the vocoder pipeline. `cache_len` bounds the
+    talker KV window (serving memory budgets); None keeps cfg.max_seq.
     """
 
     @functools.partial(jax.jit, static_argnames=())
     def prefill_fn(models, prompt_embeds, pad_offset, key, temperature, top_p):
         return init_state(
             models, talker_cfg, prompt_embeds, pad_offset, key,
-            temperature, top_p,
+            temperature, top_p, cache_len=cache_len,
         )
 
     @jax.jit

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas flash-decode kernel (docs/TESTING.md)
+
 from qwen3_tts_tpu.ops import attention, flash_decode
 
 

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas frame-expansion kernel (docs/TESTING.md)
+
 from qwen3_tts_tpu.assets import tables
 from qwen3_tts_tpu.core.config import PredictorConfig
 from qwen3_tts_tpu.models import decoder, predictor

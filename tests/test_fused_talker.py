@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas whole-step kernel (docs/TESTING.md)
+
 from qwen3_tts_tpu.core.config import TalkerConfig
 from qwen3_tts_tpu.models import decoder
 from qwen3_tts_tpu.ops import flash_decode, fused_talker, quant

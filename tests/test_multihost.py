@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process Gloo subprocess harnesses (docs/TESTING.md)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -130,3 +130,34 @@ def test_failed_submission_does_not_poison_batch(engine):
     srv.run_until_drained()
     assert srv.result(good) is not None
     assert len(srv.result(good).samples) > 0
+
+
+def test_kv_window_matches_full_cache(engine):
+    """A serving engine with a bounded talker KV window produces the same
+    greedy output as the full-cache one (streams fit the window), and
+    admission rejects prompts that fill the window."""
+    from qwen3_tts_tpu import serving as serving_mod
+    from qwen3_tts_tpu.utils.voice_file import VoiceFile
+
+    full = serving_mod.ServingEngine(engine, max_streams=2)
+    win = serving_mod.ServingEngine(engine, max_streams=2, kv_window=256)
+    assert win._state is None
+    voice = VoiceFile(speaker_embedding=[0.0] * 64)
+
+    sid_f = full.submit("window parity", voice)
+    sid_w = win.submit("window parity", voice)
+    for eng in (full, win):
+        while eng.step():
+            pass
+    a = full.result(sid_f).samples
+    b = win.result(sid_w).samples
+    np.testing.assert_array_equal(a, b)
+    assert win._state["cache"]["k"].shape[3] == 256
+
+    # a prompt that fills the window is rejected cleanly, not admitted
+    tiny_win = serving_mod.ServingEngine(engine, max_streams=2, kv_window=8)
+    sid = tiny_win.submit("this prompt is far too long for the window",
+                          voice)
+    res = tiny_win.result(sid)
+    assert tiny_win.streams[sid].error is not None
+    assert res.samples.size == 0
