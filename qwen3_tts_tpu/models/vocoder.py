@@ -108,10 +108,21 @@ class VocoderState:
         return cls(*children)
 
 
-def init_state(cfg: VocoderConfig, batch: int) -> VocoderState:
+def init_state(cfg: VocoderConfig, batch: int,
+               frames: int | None = None) -> VocoderState:
     """Zero state == the reference's empty (length-0) buffers
-    (src/models/onnx.rs:474-495): zero-padding at stream start."""
+    (src/models/onnx.rs:474-495): zero-padding at stream start.
+
+    `frames` bounds the transformer KV extent when the total frame count
+    is known up front (the one-shot path inside generate_audio): the
+    dense attention then scans the real extent instead of max_frames
+    slots. Streaming callers keep the full window.
+    """
     tcfg = transformer_config(cfg)
+    if frames is not None:
+        import dataclasses
+        tcfg = dataclasses.replace(
+            tcfg, max_seq=max(8, min(tcfg.max_seq, frames)))
     return VocoderState(
         pre_conv_history=jnp.zeros(
             (batch, cfg.embed_dim, cfg.pre_conv_kernel - 1), jnp.float32),

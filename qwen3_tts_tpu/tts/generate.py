@@ -303,8 +303,12 @@ def generate_audio(
         step_cap,
     )
     B = codes.shape[0]
+    # the one-shot extent is exactly max_steps frames: size the vocoder
+    # KV to it (dense attention over max_frames=1024 slots costs ~3x the
+    # vocoder's real work at 64-frame utterances)
     wav, _, _ = vocoder.decode(
-        voc_params, voc_cfg, codes, vocoder.init_state(voc_cfg, B), True)
+        voc_params, voc_cfg, codes,
+        vocoder.init_state(voc_cfg, B, frames=max_steps), True)
     return wav, n_frames
 
 

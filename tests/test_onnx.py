@@ -467,3 +467,35 @@ def test_general_vocoder_auto_derive(tmp_path):
     assert v1.tolist() == v2.tolist()
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
                                rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------- encoder structural (anonymized) path
+@pytest.mark.parametrize("kind", ["audio", "speaker"])
+@pytest.mark.parametrize("anonymize", [False, True])
+def test_encoder_onnx_structural_roundtrip(tmp_path, kind, anonymize):
+    """Node-emitting torch-idiom encoder fixtures (strided Convs, 7-per-
+    layer stack, shape-distinguished tail projections, RVQ distance
+    subgraph): both the named and the structural (anonymized) converter
+    paths recover the exact pytree."""
+    cfg = (tiny_engine_config().audio_encoder if kind == "audio"
+           else tiny_engine_config().speaker_encoder)
+    initf = (encoders.init_audio_encoder if kind == "audio"
+             else encoders.init_speaker_encoder)
+    params = jax.tree.map(np.asarray, initf(jax.random.key(6), cfg))
+    path = str(tmp_path / f"{kind}_{anonymize}.onnx")
+    cw.write_encoder_onnx(path, params, kind, cfg, anonymize=anonymize)
+    got = jax.tree.map(np.asarray, cw.convert_encoder_onnx(path, kind, cfg))
+    _assert_tree_equal(params, got)
+
+
+def test_encoder_structural_wrong_stride_fails(tmp_path):
+    cfg = tiny_engine_config().audio_encoder
+    params = jax.tree.map(
+        np.asarray, encoders.init_audio_encoder(jax.random.key(6), cfg))
+    path = str(tmp_path / "bad_stride.onnx")
+    cw.write_encoder_onnx(path, params, "audio", cfg, anonymize=True)
+    m = onnx.read_model(path)
+    next(n for n in m.nodes if n.op_type == "Conv").attrs["strides"] = [7]
+    onnx.write_model(path, m.initializers, m.nodes, m.inputs, m.outputs)
+    with pytest.raises(cw.OnnxConversionError, match="stride"):
+        cw.convert_encoder_onnx(path, "audio", cfg)

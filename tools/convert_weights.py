@@ -1253,9 +1253,320 @@ def convert_vocoder_onnx(path: str, cfg=None, force: bool = False,
     return (params, cfg) if return_cfg else params
 
 
+def _structural_encoder_sd(model, kind: str, cfg) -> Dict[str, np.ndarray]:
+    """Anonymous-initializer fallback for the encoder graphs: classify
+    every weighted op by shape + consumer (strided Conv -> down/subsample
+    stages, MatMul grouped 7-per-layer for the bidirectional stack, shape-
+    distinguished tail projections, Gather/distance-MatMul codebooks,
+    1-D hidden Muls -> norms). Mirrors _structural_vocoder_sd."""
+    init = model.initializers
+    prod = _producers(model)
+    uses = _consumers(model)
+    cache: Dict[str, Any] = {}
+    wnodes = _weight_subgraph_nodes(model, prod)
+
+    def wv(node, idx=1):
+        v = _const_eval(model, node.inputs[idx], prod, cache)
+        if v is None:
+            raise OnnxConversionError(
+                f"{node.op_type} weight is neither an initializer nor a "
+                f"foldable constant subgraph: "
+                f"{_producer_chain(model, node.inputs[idx], prod)}")
+        return v
+
+    def bias_of(node, n_out):
+        if len(node.inputs) > 2:
+            v = _const_eval(model, node.inputs[2], prod, cache)
+            if v is not None:
+                return v
+        # torch exports often split the bias into a following Add
+        for c, _ in uses.get(node.outputs[0], ()):
+            if c.op_type == "Add":
+                for name in c.inputs:
+                    v = init.get(name)
+                    if v is not None and v.ndim == 1 and v.size == n_out:
+                        return np.asarray(v, np.float32)
+        return np.zeros(n_out, np.float32)
+
+    H, L = cfg.hidden, cfg.n_layers
+    factors = (cfg.downsample_factors if kind == "audio"
+               else cfg.subsample_factors)
+    stage_prefix = ("encoder.downsample" if kind == "audio"
+                    else "encoder.subsample")
+
+    sd: Dict[str, np.ndarray] = {}
+    convs, mats, mat_nodes, muls_h, books = [], [], [], [], []
+    for node in model.nodes:
+        if id(node) in wnodes:
+            continue
+        op = node.op_type
+        if op == "Conv":
+            convs.append(node)
+        elif op == "Gather" and node.inputs and node.inputs[0] in init:
+            t = np.asarray(init[node.inputs[0]], np.float32)
+            if t.ndim == 3:
+                books.extend(t)
+            elif t.ndim == 2 and t.shape[0] == cfg.code_vocab:
+                books.append(t)
+        elif op in ("MatMul", "Gemm") and len(node.inputs) > 1:
+            mv = _const_eval(model, node.inputs[1], prod, cache)
+            if mv is not None and mv.ndim == 2:
+                m = (mv if op == "Gemm" and node.attrs.get("transB")
+                     else np.ascontiguousarray(mv.T))   # torch [out, in]
+                mats.append(m)
+                mat_nodes.append(node)
+        elif op == "Mul":
+            for name in node.inputs:
+                v = init.get(name)
+                if v is not None and v.ndim == 1 and v.size == H:
+                    muls_h.append(np.asarray(v, np.float32))
+
+    if len(convs) != len(factors):
+        raise OnnxConversionError(
+            f"{kind} encoder: {len(convs)} strided Conv stages, derived "
+            f"{len(factors)} ({factors})")
+    for i, (node, s) in enumerate(zip(convs, factors)):
+        cw_ = wv(node)
+        if cw_.shape[-1] != s or node.attrs.get("strides", [s])[0] != s:
+            raise OnnxConversionError(
+                f"{stage_prefix}.{i}: Conv kernel/stride "
+                f"{cw_.shape[-1]}/{node.attrs.get('strides')}, derived "
+                f"kernel == stride == {s}")
+        sd[f"{stage_prefix}.{i}.weight"] = cw_
+        sd[f"{stage_prefix}.{i}.bias"] = bias_of(node, cw_.shape[0])
+
+    # tail projections are shape-distinguished from the 7-per-layer stack
+    nhd = cfg.n_heads * cfg.head_dim
+    if kind == "audio":
+        tails = {"encoder.latent_proj": (cfg.latent_dim, H)}
+        # codebook distance MatMuls ([latent, code_vocab] constants) are
+        # neither stack nor tail weights
+        drop_shapes = {(cfg.code_vocab, cfg.latent_dim)}
+    else:
+        tails = {"pooling.attention": (1, H),
+                 "projection": (cfg.out_dim, 2 * H)}
+        drop_shapes = set()
+    stack_mats, stack_nodes = [], []
+    tail_found: Dict[str, Tuple[np.ndarray, Any]] = {}
+    for m, node in zip(mats, mat_nodes):
+        shape = tuple(m.shape)
+        hit = next((k for k, s_ in tails.items()
+                    if s_ == shape and k not in tail_found), None)
+        if hit:
+            tail_found[hit] = (m, node)
+        elif shape in drop_shapes:
+            if kind == "audio" and not books:
+                # recover codebooks from the distance matmuls when no
+                # Gather carries them
+                pass
+        elif shape in {(nhd, H), (H, nhd), (cfg.ffn_dim, H),
+                       (H, cfg.ffn_dim)}:
+            stack_mats.append(m)
+            stack_nodes.append(node)
+    missing_tails = [k for k in tails if k not in tail_found]
+    if missing_tails:
+        raise OnnxConversionError(
+            f"{kind} encoder: tail projection(s) {missing_tails} with "
+            f"shapes {[tails[k] for k in missing_tails]} not found among "
+            f"{[tuple(m.shape) for m in mats]}")
+    if len(stack_mats) != 7 * L:
+        raise OnnxConversionError(
+            f"{kind} encoder: {len(stack_mats)} stack linears != 7*{L} "
+            "(q,k,v,o,gate,up,down per layer)")
+    if len(muls_h) != 2 * L + 1:
+        raise OnnxConversionError(
+            f"{kind} encoder: {len(muls_h)} hidden norm vectors != "
+            f"2*{L}+1 (ln1,ln2,final)")
+
+    names = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+             "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj",
+             "mlp.down_proj")
+    shapes = [(nhd, H)] * 3 + [(H, nhd), (cfg.ffn_dim, H),
+                               (cfg.ffn_dim, H), (H, cfg.ffn_dim)]
+    for li in range(L):
+        for j, (nm, want) in enumerate(zip(names, shapes)):
+            m = stack_mats[7 * li + j]
+            if tuple(m.shape) != want:
+                raise OnnxConversionError(
+                    f"{kind} encoder layer {li} {nm}: weight {m.shape} != "
+                    f"{want} — linear order differs from "
+                    "q,k,v,o,gate,up,down")
+            sd[f"encoder.layers.{li}.{nm}.weight"] = m
+        sd[f"encoder.layers.{li}.input_layernorm.weight"] = muls_h[2 * li]
+        sd[f"encoder.layers.{li}.post_attention_layernorm.weight"] = \
+            muls_h[2 * li + 1]
+    sd["encoder.norm.weight"] = muls_h[2 * L]
+
+    for key, (m, node) in tail_found.items():
+        sd[key + ".weight"] = m
+        sd[key + ".bias"] = bias_of(node, m.shape[0])
+    if kind == "speaker":
+        sd.pop("pooling.attention.bias", None)   # attn pooling has no bias
+    if kind == "audio":
+        if len(books) != cfg.num_codebooks:
+            raise OnnxConversionError(
+                f"audio encoder: {len(books)} RVQ codebooks != "
+                f"{cfg.num_codebooks}")
+        for q, t in enumerate(books):
+            sd[f"quantizer.codebooks.{q}.weight"] = np.asarray(t,
+                                                               np.float32)
+    return sd
+
+
+def write_encoder_onnx(path: str, params: Dict[str, Any], kind: str,
+                       cfg=None, anonymize: bool = False) -> None:
+    """Synthesize a torch-idiom encoder graph (node skeleton + IO contract
+    of the reference's encoder ONNX files, src/models/onnx.rs:97-163) —
+    fixture generator for the named and structural converter paths."""
+    from qwen3_tts_tpu.assets import onnx as onnx_mod
+    from qwen3_tts_tpu.core.config import (AudioEncoderConfig,
+                                           SpeakerEncoderConfig)
+    from qwen3_tts_tpu.models import encoders as enc
+
+    if cfg is None:
+        cfg = AudioEncoderConfig() if kind == "audio" \
+            else SpeakerEncoderConfig()
+    exp = (enc.export_audio_encoder_state_dict if kind == "audio"
+           else enc.export_speaker_encoder_state_dict)
+    sd = exp(params, cfg)
+    init: Dict[str, np.ndarray] = {}
+    nodes: list = []
+    counter = [0]
+
+    def iname(torch_name):
+        if not anonymize:
+            return torch_name
+        counter[0] += 1
+        return f"onnx::W_{counter[0]}"
+
+    def vname():
+        counter[0] += 1
+        return f"v_{counter[0]}"
+
+    def matmul(x, torch_key, bias_key=None):
+        n = iname(torch_key + ".weight")
+        init[n] = np.ascontiguousarray(
+            np.asarray(sd[torch_key + ".weight"], np.float32).T)
+        out = vname()
+        nodes.append(onnx_mod.OnnxNode("MatMul", [x, n], [out]))
+        if bias_key:
+            bn = iname(bias_key)
+            init[bn] = np.asarray(sd[bias_key], np.float32)
+            out2 = vname()
+            nodes.append(onnx_mod.OnnxNode("Add", [out, bn], [out2]))
+            return out2
+        return out
+
+    def vec_mul(x, torch_key):
+        n = iname(torch_key)
+        init[n] = np.asarray(sd[torch_key], np.float32)
+        out = vname()
+        nodes.append(onnx_mod.OnnxNode("Mul", [x, n], [out]))
+        return out
+
+    def conv(x, torch_key, stride):
+        w = np.asarray(sd[torch_key + ".weight"], np.float32)
+        wn, bn = iname(torch_key + ".weight"), iname(torch_key + ".bias")
+        init[wn] = w
+        init[bn] = np.asarray(sd[torch_key + ".bias"], np.float32)
+        out, g = vname(), vname()
+        nodes.append(onnx_mod.OnnxNode(
+            "Conv", [x, wn, bn], [out],
+            attrs={"kernel_shape": [int(w.shape[-1])],
+                   "strides": [int(stride)]}))
+        nodes.append(onnx_mod.OnnxNode("Gelu", [out], [g]))
+        return g
+
+    x = "input_values" if kind == "audio" else "mels"
+    factors = (cfg.downsample_factors if kind == "audio"
+               else cfg.subsample_factors)
+    prefix = ("encoder.downsample" if kind == "audio"
+              else "encoder.subsample")
+    for i, s in enumerate(factors):
+        x = conv(x, f"{prefix}.{i}", s)
+
+    for li in range(cfg.n_layers):
+        p = f"encoder.layers.{li}."
+        h = vec_mul(x, p + "input_layernorm.weight")
+        q = matmul(h, p + "self_attn.q_proj")
+        k = matmul(h, p + "self_attn.k_proj")
+        v = matmul(h, p + "self_attn.v_proj")
+        sc, sm, av = vname(), vname(), vname()
+        nodes.append(onnx_mod.OnnxNode("MatMul", [q, k], [sc]))
+        nodes.append(onnx_mod.OnnxNode("Softmax", [sc], [sm]))
+        nodes.append(onnx_mod.OnnxNode("MatMul", [sm, v], [av]))
+        o = matmul(av, p + "self_attn.o_proj")
+        r1 = vname()
+        nodes.append(onnx_mod.OnnxNode("Add", [x, o], [r1]))
+        h2 = vec_mul(r1, p + "post_attention_layernorm.weight")
+        g = matmul(h2, p + "mlp.gate_proj")
+        sg, gated = vname(), vname()
+        nodes.append(onnx_mod.OnnxNode("Sigmoid", [g], [sg]))
+        nodes.append(onnx_mod.OnnxNode("Mul", [g, sg], [gated]))
+        u = matmul(h2, p + "mlp.up_proj")
+        gu = vname()
+        nodes.append(onnx_mod.OnnxNode("Mul", [gated, u], [gu]))
+        d = matmul(gu, p + "mlp.down_proj")
+        r2 = vname()
+        nodes.append(onnx_mod.OnnxNode("Add", [r1, d], [r2]))
+        x = r2
+    x = vec_mul(x, "encoder.norm.weight")
+
+    if kind == "audio":
+        x = matmul(x, "encoder.latent_proj", "encoder.latent_proj.bias")
+        # RVQ encode per codebook: distance MatMul -> ArgMax -> Gather ->
+        # residual Sub (a plausible export of iterative nearest-codebook)
+        residual = x
+        code_outs = []
+        for q in range(cfg.num_codebooks):
+            bn = iname(f"quantizer.codebooks.{q}.weight")
+            init[bn] = np.asarray(sd[f"quantizer.codebooks.{q}.weight"],
+                                  np.float32)
+            tn, dist, idx, sel, nxt = (vname() for _ in range(5))
+            nodes.append(onnx_mod.OnnxNode(
+                "Transpose", [bn], [tn], attrs={"perm": [1, 0]}))
+            nodes.append(onnx_mod.OnnxNode("MatMul", [residual, tn],
+                                           [dist]))
+            nodes.append(onnx_mod.OnnxNode("ArgMax", [dist], [idx]))
+            nodes.append(onnx_mod.OnnxNode("Gather", [bn, idx], [sel]))
+            nodes.append(onnx_mod.OnnxNode("Sub", [residual, sel], [nxt]))
+            residual = nxt
+            code_outs.append(idx)
+        cat = vname()
+        nodes.append(onnx_mod.OnnxNode("Concat", code_outs, [cat],
+                                       attrs={"axis": -1}))
+        nodes.append(onnx_mod.OnnxNode("Identity", [cat], ["audio_codes"]))
+        io = (("input_values", onnx_mod.FLOAT, (1, None)),
+              ("audio_codes", onnx_mod.INT64,
+               (1, None, cfg.num_codebooks)))
+    else:
+        aw = matmul(x, "pooling.attention")
+        a = vname()
+        nodes.append(onnx_mod.OnnxNode("Softmax", [aw], [a]))
+        wsum, mean = vname(), vname()
+        nodes.append(onnx_mod.OnnxNode("Mul", [a, x], [wsum]))
+        nodes.append(onnx_mod.OnnxNode(
+            "ReduceSum", [wsum], [mean], attrs={"axes": [1]}))
+        dev, sq, var, std, cat = (vname() for _ in range(5))
+        nodes.append(onnx_mod.OnnxNode("Sub", [x, mean], [dev]))
+        nodes.append(onnx_mod.OnnxNode("Mul", [dev, dev], [sq]))
+        nodes.append(onnx_mod.OnnxNode(
+            "ReduceSum", [sq], [var], attrs={"axes": [1]}))
+        nodes.append(onnx_mod.OnnxNode("Sqrt", [var], [std]))
+        nodes.append(onnx_mod.OnnxNode("Concat", [mean, std], [cat],
+                                       attrs={"axis": -1}))
+        out = matmul(cat, "projection", "projection.bias")
+        nodes.append(onnx_mod.OnnxNode("Identity", [out], ["spk_emb"]))
+        io = (("mels", onnx_mod.FLOAT, (1, None, cfg.n_mels)),
+              ("spk_emb", onnx_mod.FLOAT, (1, cfg.out_dim)))
+    onnx_mod.write_model(path, init, nodes, inputs=[io[0]],
+                         outputs=[io[1]],
+                         graph_name=f"qwen3_tts_{kind}_encoder")
+
+
 def convert_encoder_onnx(path: str, kind: str, cfg=None) -> Dict[str, Any]:
-    """Codec/speaker encoder ONNX -> pytree (name-preserving exports; an
-    anonymized encoder graph is flagged with the full initializer list)."""
+    """Codec/speaker encoder ONNX -> pytree: preserved torch names when
+    possible, structural (shape + consumer-op) mapping otherwise."""
     from qwen3_tts_tpu.assets import onnx as onnx_mod
     from qwen3_tts_tpu.core.config import (AudioEncoderConfig,
                                            SpeakerEncoderConfig)
@@ -1280,14 +1591,19 @@ def convert_encoder_onnx(path: str, kind: str, cfg=None) -> Dict[str, Any]:
     init = (enc.init_audio_encoder if kind == "audio"
             else enc.init_speaker_encoder)
     expected = list(exp(jax.tree.map(np.asarray,
-                                     init(jax.random.key(0), cfg))))
+                                     init(jax.random.key(0), cfg)), cfg))
     sd = sd_from_onnx(model, expected)
-    missing = [k for k in expected if k not in sd]
-    if missing:
-        raise OnnxConversionError(
-            f"{path}: initializers are anonymized or renamed; cannot map "
-            f"{len(missing)} tensors (first: {missing[:4]}). Graph "
-            f"initializers: {sorted(model.initializers)[:12]}...")
+    if not all(k in sd for k in expected):
+        try:
+            sd = _structural_encoder_sd(model, kind, cfg)
+        except OnnxConversionError as e:
+            missing = [k for k in expected if k not in sd]
+            raise OnnxConversionError(
+                f"{path}: initializers are anonymized or renamed; the "
+                f"structural mapper also failed: {e}. Name map missed "
+                f"{len(missing)} tensors (first: {missing[:4]}); graph "
+                f"initializers: {sorted(model.initializers)[:12]}...") \
+                from None
     return conv(sd, cfg)
 
 
