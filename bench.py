@@ -137,9 +137,13 @@ def main() -> int:
             jax.block_until_ready(out)
         print(f"[{tag}] compile+warmup: {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
-        seeds = [seed_base + seed_off + 2 + i for i in range(4)]
-        # timed: fresh keys per dispatch (defeats relay-level dedup); median
-        # rejects stragglers; EOS masked -> every sample is N_STEPS frames
+        seeds = [seed_base + seed_off + 2 + i for i in range(6)]
+        # timed: fresh keys per dispatch (defeats relay-level dedup); the
+        # FIRST timed dispatch consistently absorbs a relay re-claim stall
+        # (observed 139-334 s) and is discarded; a true median over the
+        # remaining ODD count rejects per-dispatch jitter (a median over 4
+        # picks the worse middle sample). EOS masked -> every sample is
+        # N_STEPS frames.
         samples = []
         for seed in seeds:
             t0 = time.perf_counter()
@@ -147,6 +151,7 @@ def main() -> int:
             n = int(jax.device_get(n_frames)[0])   # host fetch = hard sync
             assert n == N_STEPS, (n, N_STEPS)      # EOS mask: fixed extent
             samples.append((time.perf_counter() - t0, n))
+        samples = samples[1:]
         med_t, med_n = sorted(samples)[len(samples) // 2]
         fms = 1e3 * med_t / med_n
         print(f"[{tag}] {[(round(t,3), n) for t, n in samples]} "
@@ -166,13 +171,14 @@ def main() -> int:
 
         for i in (0, 1):
             jax.block_until_ready(gen(seed_base + seed_off + i))
-        seeds = [seed_base + seed_off + 2 + i for i in range(3)]
+        seeds = [seed_base + seed_off + 2 + i for i in range(4)]
         samples = []
         for seed in seeds:
             t0 = time.perf_counter()
             wav, n_frames = gen(seed)
             n = int(jax.device_get(jnp.max(n_frames)))
             samples.append((time.perf_counter() - t0, max(n, 1)))
+        samples = samples[1:]    # first dispatch absorbs relay stalls
         med_t, med_n = sorted(samples)[len(samples) // 2]
         fms = 1e3 * med_t / med_n
         print(f"[{tag}] {[(round(t,3), n) for t, n in samples]} "

@@ -81,7 +81,7 @@ def test_validator_passes_on_fixture_release(release_dir, tmp_path, capsys):
     wav = str(tmp_path / "validated.wav")
     rc = validate_release.main(["--model-dir", release_dir,
                                "--geometry", "tiny", "--steps", "6",
-                               "--wav-out", wav])
+                               "--wav-out", wav, "--quant-gate", "0"])
     out = capsys.readouterr().out
     report = json.loads(out.strip().splitlines()[-1])
     assert rc == 0, report
@@ -91,6 +91,10 @@ def test_validator_passes_on_fixture_release(release_dir, tmp_path, capsys):
         assert report["checks"][name]["status"] == "pass", report["checks"]
     # encoders absent from the fixture -> explicitly skipped, not failed
     assert report["checks"]["audio_encoder_onnx"]["status"] == "skip"
+    # quant acceptance recorded on these weights (gate disabled: random
+    # fixture weights are near-tie degenerate)
+    assert report["checks"]["quant_agreement"]["status"] == "pass"
+    assert "int8" in report["checks"]["quant_agreement"]["detail"]
     assert os.path.exists(wav) and os.path.getsize(wav) > 44
     # conversion artifacts landed in the release dir (now engine-loadable)
     assert os.path.exists(os.path.join(release_dir, "gguf", "vocoder.npz"))
@@ -136,7 +140,7 @@ def test_validator_general_vocoder_release(release_dir, tmp_path, capsys):
             os.remove(path)
 
     rc = validate_release.main(["--model-dir", gdir, "--geometry", "tiny",
-                               "--steps", "4"])
+                               "--steps", "4", "--quant-gate", "0"])
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0, report
     assert "general" in report["checks"]["vocoder_onnx"]["detail"]
