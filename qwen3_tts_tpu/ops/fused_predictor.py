@@ -430,7 +430,8 @@ def _kernel_body(cfg, B, B8, dense_round, ptab_rows, int4, wcap, resident,
         # (3.93 vs 3.55 ms/frame: 8x code outweighs the loop control);
         # partial factors trade the two. Trace-time knob; default off.
         unroll_env = os.environ.get("QWEN3_TTS_PRED_UNROLL")
-        if unroll_env == "1":
+        if unroll_env == "1" or (unroll_env and unroll_env.isdigit()
+                                 and int(unroll_env) >= L):
             jax.lax.fori_loop(0, L, layer, (), unroll=True)
         elif (unroll_env and unroll_env.isdigit() and 1 < int(unroll_env) < L
               and L % int(unroll_env) == 0):

@@ -51,20 +51,31 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     cache a RESTARTED process deserializes the executables instead of
     recompiling, so first-request latency approaches the reference's.
 
-    Resolution: explicit `cache_dir` > env QWEN3_TTS_COMPILE_CACHE
-    ("0"/"" disables) > ~/.cache/qwen3_tts_tpu/xla. Returns the directory
-    in use, or None when disabled. Safe to call more than once.
+    Resolution: explicit `cache_dir` > an already-configured
+    jax_compilation_cache_dir (e.g. the CLI's --compile-cache, set before
+    engine construction) > env QWEN3_TTS_COMPILE_CACHE ("0"/"" disables)
+    > ~/.cache/qwen3_tts_tpu/xla. Returns the directory in use, or None
+    when disabled or unwritable (a cache must never fail construction).
     """
     if cache_dir is None:
+        configured = jax.config.jax_compilation_cache_dir
         env = os.environ.get("QWEN3_TTS_COMPILE_CACHE")
-        if env is not None:
+        if configured:
+            cache_dir = configured
+        elif env is not None:
             if env in ("", "0"):
                 return None
             cache_dir = env
         else:
             cache_dir = os.path.join(
                 os.path.expanduser("~"), ".cache", "qwen3_tts_tpu", "xla")
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError as e:
+        import warnings
+        warnings.warn(f"compilation cache disabled: {cache_dir!r} is not "
+                      f"writable ({e})")
+        return None
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache every program (default min sizes skip small ones; the stream
     # prefill/step programs are exactly what a restart must not recompile)
@@ -293,17 +304,18 @@ class TtsEngine:
                     continue
                 fake = [jnp.zeros((s, dim)) for _ in range(b)]
                 batch, offsets = self._pad_prompts(fake)
-                room = cfg.talker.max_seq - int(batch.shape[1])
-                steps = min(self.max_steps, max(room, 1),
-                            cfg.vocoder.max_frames)
+                bucket, steps = self._offline_extents(int(batch.shape[1]))
                 sc = self.sampler_config
                 # the offline path is ONE fused program (generation ->
-                # vocoder); warming it covers both stages
+                # vocoder); warming it covers both stages. MUST use the
+                # same (bucket, step_cap) signature as _run_inference or
+                # the first real request recompiles.
                 wav, n = generate.generate_audio(
                     self.models, self.vocoder_params, cfg.talker,
                     cfg.predictor, cfg.vocoder, batch, offsets,
                     jax.random.key(0), sc.temperature, sc.top_k, sc.top_p,
-                    steps, fused_rows=self._fused_rows)
+                    bucket, fused_rows=self._fused_rows,
+                    step_cap=jnp.int32(steps))
                 jax.block_until_ready((wav, n))
         # streaming path: the make_stream_fns pair used by generate_stream
         # and ServingEngine, plus the chunk-sized vocoder decode, so the
@@ -502,22 +514,28 @@ class TtsEngine:
         )
 
     # ------------------------------------------------------------- internals
+    def _offline_extents(self, prompt_cols: int):
+        """(compiled bucket extent, exact per-request step cap) for the
+        fused offline program. Bucketing the static extent to a few sizes
+        lets distinct max-steps values share one compiled program; the
+        dynamic step_cap keeps behavior exact (tested)."""
+        cfg = self.config
+        room = cfg.talker.max_seq - prompt_cols
+        steps = min(self.max_steps, max(room, 1), cfg.vocoder.max_frames)
+        bucket = steps
+        for b in (64, 128, 256, 512, 1024):
+            if steps <= b <= max(room, 1) and b <= cfg.vocoder.max_frames:
+                bucket = b
+                break
+        return bucket, steps
+
     def _run_inference(self, datas: List[prompt.PromptData]) -> List[AudioSample]:
         cfg = self.config
         sc = self.sampler_config
         batch, offsets = self._pad_prompts([d.embeds for d in datas])
         # cap generation at the talker context (reference n_ctx=4096,
         # src/tts/engine.rs:133): prompt slots + frames must fit the cache
-        room = cfg.talker.max_seq - int(batch.shape[1])
-        steps = min(self.max_steps, max(room, 1), cfg.vocoder.max_frames)
-        # bucket the compiled extent to a few static sizes and stop at the
-        # exact request cap dynamically: distinct max-steps values share a
-        # program (one compile, bounded dead vocoder work past EOS)
-        bucket = steps
-        for b in (64, 128, 256, 512, 1024):
-            if steps <= b <= max(room, 1) and b <= cfg.vocoder.max_frames:
-                bucket = b
-                break
+        bucket, steps = self._offline_extents(int(batch.shape[1]))
         # ONE device program end-to-end (generation while_loop -> vocoder):
         # no host round-trip between codes and waveform. Identical output
         # to the two-step bucketed path (generate.generate_audio docstring).

@@ -499,3 +499,24 @@ def test_encoder_structural_wrong_stride_fails(tmp_path):
     onnx.write_model(path, m.initializers, m.nodes, m.inputs, m.outputs)
     with pytest.raises(cw.OnnxConversionError, match="stride"):
         cw.convert_encoder_onnx(path, "audio", cfg)
+
+
+def test_audio_encoder_gatherless_codebooks(tmp_path):
+    """A codec-encoder export that carries the RVQ tables only as the
+    transposed distance-MatMul constants (no Gather from an initializer):
+    the structural mapper recovers the codebooks from the MatMuls."""
+    cfg = tiny_engine_config().audio_encoder
+    params = jax.tree.map(
+        np.asarray, encoders.init_audio_encoder(jax.random.key(6), cfg))
+    path = str(tmp_path / "nogather.onnx")
+    cw.write_encoder_onnx(path, params, "audio", cfg, anonymize=True)
+    m = onnx.read_model(path)
+    # detach every Gather from its codebook initializer
+    for n in m.nodes:
+        if n.op_type == "Gather":
+            n.inputs[0] = "not_an_initializer"
+    onnx.write_model(path, m.initializers, m.nodes, m.inputs, m.outputs)
+    got = jax.tree.map(np.asarray, cw.convert_encoder_onnx(path, "audio",
+                                                           cfg))
+    np.testing.assert_allclose(got["codebooks"], params["codebooks"],
+                               rtol=1e-6)

@@ -1346,7 +1346,7 @@ def _structural_encoder_sd(model, kind: str, cfg) -> Dict[str, np.ndarray]:
         tails = {"pooling.attention": (1, H),
                  "projection": (cfg.out_dim, 2 * H)}
         drop_shapes = set()
-    stack_mats, stack_nodes = [], []
+    stack_mats, stack_nodes, mm_books = [], [], []
     tail_found: Dict[str, Tuple[np.ndarray, Any]] = {}
     for m, node in zip(mats, mat_nodes):
         shape = tuple(m.shape)
@@ -1355,14 +1355,16 @@ def _structural_encoder_sd(model, kind: str, cfg) -> Dict[str, np.ndarray]:
         if hit:
             tail_found[hit] = (m, node)
         elif shape in drop_shapes:
-            if kind == "audio" and not books:
-                # recover codebooks from the distance matmuls when no
-                # Gather carries them
-                pass
+            # distance MatMul against codebook_q^T: the torch-layout
+            # constant [code_vocab, latent_dim] IS the codebook — the
+            # fallback source when no Gather carries the tables
+            mm_books.append(m)
         elif shape in {(nhd, H), (H, nhd), (cfg.ffn_dim, H),
                        (H, cfg.ffn_dim)}:
             stack_mats.append(m)
             stack_nodes.append(node)
+    if kind == "audio" and not books and mm_books:
+        books = mm_books
     missing_tails = [k for k in tails if k not in tail_found]
     if missing_tails:
         raise OnnxConversionError(

@@ -53,21 +53,34 @@ PER_HOST_BATCH = 4
 FRAME_S = 1.0 / 12.0
 
 
+def _allowed_cpus():
+    """This process's actual cpuset (cgroup/affinity aware) — deriving
+    pin targets from os.cpu_count() crashes in restricted containers."""
+    try:
+        return sorted(os.sched_getaffinity(0))
+    except AttributeError:                      # non-Linux
+        return list(range(os.cpu_count() or 2))
+
+
 def per_host_cores() -> int:
     """Cores per host-analog. A fair weak-scaling analog gives every
     simulated host its OWN cores: without pinning, the 1-process run owns
     the whole machine while the 2-process run fights for it, and the
     harness measures core contention (8 virtual devices' thread pools on
     this box's cores), not the scaling design."""
-    return max(1, (os.cpu_count() or 2) // 2)
+    return max(1, len(_allowed_cpus()) // 2)
 
 
 def worker(rank: int, nprocs: int, port: int, steps: int, reps: int,
            out_path: str, mode: str) -> int:
     ncores = per_host_cores()
-    # pin this host-analog to its own cores (see per_host_cores)
-    os.sched_setaffinity(
-        0, set(range(rank * ncores, (rank + 1) * ncores)))
+    # pin this host-analog to its own slice of the ALLOWED cpuset
+    cpus = _allowed_cpus()
+    mine = set(cpus[rank * ncores: (rank + 1) * ncores]) or set(cpus)
+    try:
+        os.sched_setaffinity(0, mine)
+    except (AttributeError, OSError):
+        pass                                    # unpinned analog still runs
     devs = ncores                       # one virtual device per pinned core
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devs}")

@@ -89,7 +89,7 @@ def main(argv=None) -> int:
                                   KeyError, AssertionError,
                                   cw.OnnxConversionError)):
                 traceback.print_exc()
-            return fatal and False
+            return not fatal
 
     def skip(name, why):
         checks[name] = {"status": "skip", "detail": why}
