@@ -161,3 +161,23 @@ def test_kv_window_matches_full_cache(engine):
     res = tiny_win.result(sid)
     assert tiny_win.streams[sid].error is not None
     assert res.samples.size == 0
+
+
+def test_thirtytwo_slots_with_window(engine):
+    """32 concurrent slots on a windowed KV cache (the B=32 serving
+    envelope the r5 bench measures on hardware): admission fills all
+    slots, streams complete and recycle."""
+    from qwen3_tts_tpu import serving as serving_mod
+
+    srv = serving_mod.ServingEngine(engine, max_streams=32, kv_window=256)
+    voice = engine.get_speaker("vivian")
+    sids = [srv.submit(f"slot {i}", voice) for i in range(32)]
+    assert all(s is not None for s in sids)
+    assert srv.submit("no room", voice) is None      # batch full
+    while srv.step():
+        pass
+    for sid in sids:
+        res = srv.result(sid)
+        assert res is not None and res.samples.size > 0
+    # slots recycled: a new stream admits again
+    assert srv.submit("again", voice) is not None
