@@ -58,9 +58,11 @@ class TtsServer:
     """
 
     def __init__(self, engine, max_streams: int = 4,
-                 admit_timeout: float = 30.0):
+                 admit_timeout: float = 30.0,
+                 kv_window: "int | None" = None):
         self.engine = engine
-        self.serving = ServingEngine(engine, max_streams=max_streams)
+        self.serving = ServingEngine(engine, max_streams=max_streams,
+                                     kv_window=kv_window)
         self.admit_timeout = admit_timeout
         self._lock = threading.Lock()      # device access is single-threaded
         self._cond = threading.Condition()  # progress: tick / submit / done
@@ -229,6 +231,11 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8973)
     ap.add_argument("--max-streams", type=int, default=4)
+    ap.add_argument("--kv-window", type=int, default=None,
+                    help="per-slot talker KV extent (256-aligned; e.g. "
+                         "1024 fits 4x the streams of the full 4096-slot "
+                         "cache — required HBM headroom for "
+                         "--max-streams 32)")
     ap.add_argument("--max-steps", type=int, default=512)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--random-weights", action="store_true")
@@ -249,7 +256,8 @@ def main(argv=None) -> int:
         print("warming up...", flush=True)
         engine.warmup()
 
-    srv = TtsServer(engine, max_streams=args.max_streams)
+    srv = TtsServer(engine, max_streams=args.max_streams,
+                    kv_window=args.kv_window)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv))
     print(f"qwen3-tts serving on http://{args.host}:{args.port} "
           f"(max {args.max_streams} concurrent streams)", flush=True)
