@@ -120,6 +120,7 @@ class ServingEngine:
             n_frames=jnp.zeros((B,), jnp.int32),
             temperature=jnp.float32(self.engine.sampler_config.temperature),
             top_p=jnp.float32(self.engine.sampler_config.top_p),
+            prev_codes=jnp.zeros((B, P.NUM_CODEBOOKS - 1), jnp.int32),
         )
 
     def submit(self, text: str, voice: VoiceFile,

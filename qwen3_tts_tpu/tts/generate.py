@@ -23,6 +23,7 @@ pushing codes).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -72,6 +73,7 @@ def _predict_codes(
     h1024: jax.Array,
     code0: jax.Array,
     fused_rows: int,
+    draft: jax.Array | None = None,
 ) -> jax.Array:
     """Frame expansion, via the single-launch Pallas kernel when eligible.
 
@@ -82,6 +84,13 @@ def _predict_codes(
     eligibility (geometry/backend/batch, incl. QWEN3_TTS_NO_FUSED=1) is
     rechecked here so callers can pass ptab unconditionally.
     """
+    if os.environ.get("QWEN3_TTS_PRED_JACOBI") == "1" and draft is not None:
+        # Jacobi self-speculative expansion (predictor.frame_codes_jacobi):
+        # previous frame's codes as the draft; pass count tracks real-
+        # weight temporal continuity. Trace-time opt-in.
+        return predictor.frame_codes_jacobi(
+            models["predictor"], pred_cfg, models["assets"], h1024, code0,
+            draft)
     if (
         fused_rows > 0
         and "pred_ptab" in models
@@ -132,7 +141,8 @@ def _frame_body(
     active = ~done                                            # emits a frame
 
     h1024 = models["assets"].project(state["hidden"].astype(jnp.float32))
-    codes = _predict_codes(models, pred_cfg, h1024, code0, fused_rows)
+    codes = _predict_codes(models, pred_cfg, h1024, code0, fused_rows,
+                           draft=state["prev_codes"])
     codes = jnp.where(active[:, None], codes, 0)
 
     fb = _feedback_embedding(models["assets"], codes, talker_cfg.hidden)
@@ -155,6 +165,7 @@ def _frame_body(
         step=state["step"] + 1,
         done=done,
         n_frames=state["n_frames"] + active.astype(jnp.int32),
+        prev_codes=codes[:, 1:],
     )
     return new_state, codes, active
 
@@ -198,6 +209,8 @@ def init_state(
         n_frames=jnp.zeros((B,), jnp.int32),
         temperature=jnp.float32(temperature),
         top_p=jnp.float32(top_p),
+        # previous frame's codebooks 1..15: the Jacobi draft
+        prev_codes=jnp.zeros((B, protocol.NUM_CODEBOOKS - 1), jnp.int32),
     )
 
 

@@ -197,3 +197,54 @@ def test_step_cap_bucket_matches_exact(models):
     np.testing.assert_array_equal(np.asarray(exact_codes[0, :n]),
                                   np.asarray(buck_codes[0, :n]))
     np.testing.assert_array_equal(np.asarray(buck_codes[0, n:]), 0)
+
+
+def test_jacobi_predictor_matches_ar(models):
+    """Jacobi self-speculative expansion converges to the same greedy
+    codes as the AR scan for arbitrary drafts (oracle, zero, adversarial)
+    — it is a fixed-point iteration of the same chain."""
+    from qwen3_tts_tpu.models import predictor as pred_mod
+
+    B = 3
+    h = jax.random.normal(jax.random.key(5), (B, CFG.predictor.hidden),
+                          jnp.float32)
+    c0 = jax.random.randint(jax.random.key(6), (B,), 0, 2048, jnp.int32)
+    want = pred_mod.frame_codes(models["predictor"], CFG.predictor,
+                                models["assets"], h, c0)
+    # oracle draft: must converge in one pass, exactly
+    got_oracle = pred_mod.frame_codes_jacobi(
+        models["predictor"], CFG.predictor, models["assets"], h, c0,
+        draft=want[:, 1:])
+    np.testing.assert_array_equal(np.asarray(got_oracle), np.asarray(want))
+    # zero draft (the generation loop's first frame)
+    got_zero = pred_mod.frame_codes_jacobi(
+        models["predictor"], CFG.predictor, models["assets"], h, c0)
+    np.testing.assert_array_equal(np.asarray(got_zero), np.asarray(want))
+    # adversarial draft
+    adv = (want[:, 1:] + 7) % 2048
+    got_adv = pred_mod.frame_codes_jacobi(
+        models["predictor"], CFG.predictor, models["assets"], h, c0,
+        draft=adv)
+    np.testing.assert_array_equal(np.asarray(got_adv), np.asarray(want))
+
+
+def test_jacobi_generation_matches_default(models, monkeypatch):
+    """QWEN3_TTS_PRED_JACOBI=1: the whole fused generation loop (previous
+    frame as draft) produces the same greedy code matrix as the default
+    path."""
+    prompt = _prompt(1, 8)
+    pad = jnp.zeros((1,), jnp.int32)
+    key = jax.random.key(2)
+    base, n_base = generate.generate_codes(
+        models, CFG.talker, CFG.predictor, prompt, pad, key, 0.0, 0, 1.0, 6)
+    monkeypatch.setenv("QWEN3_TTS_PRED_JACOBI", "1")
+    jax.clear_caches()     # trace-time knob
+    try:
+        jac, n_jac = generate.generate_codes(
+            models, CFG.talker, CFG.predictor, prompt, pad, key,
+            0.0, 0, 1.0, 6)
+    finally:
+        monkeypatch.delenv("QWEN3_TTS_PRED_JACOBI")
+        jax.clear_caches()
+    assert int(n_base[0]) == int(n_jac[0])
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(jac))
