@@ -523,7 +523,7 @@ class TtsEngine:
         room = cfg.talker.max_seq - prompt_cols
         steps = min(self.max_steps, max(room, 1), cfg.vocoder.max_frames)
         bucket = steps
-        for b in (64, 128, 256, 512, 1024):
+        for b in (16, 32, 64, 128, 256, 512, 1024):
             if steps <= b <= max(room, 1) and b <= cfg.vocoder.max_frames:
                 bucket = b
                 break

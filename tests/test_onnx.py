@@ -368,10 +368,29 @@ def test_converter_cli_onnx(tmp_path, params, capsys):
     src = str(tmp_path / "qwen3_tts_decoder.onnx")
     cw.write_vocoder_onnx(src, params, CFG)
     out = str(tmp_path / "out")
-    # default VocoderConfig differs from the tiny test geometry, so main()
-    # must surface the mismatch as a failure, not convert wrongly
-    with pytest.raises((cw.OnnxConversionError, SystemExit)):
-        cw.main(["--vocoder", src, "--out", out])
+    # the tiny graph differs from the default flagship VocoderConfig in
+    # EVERY trunk dimension; derive_vocoder_config reads the geometry from
+    # the carried-state signature, so main() converts correctly instead of
+    # failing (the graph, not the caller, knows its architecture)
+    cw.main(["--vocoder", src, "--out", out])
+    import os
+
+    from qwen3_tts_tpu.core.config import load_vocoder_config
+    assert os.path.exists(os.path.join(out, "vocoder.npz"))
+    derived = load_vocoder_config(os.path.join(out, "vocoder_config.json"))
+    assert derived.n_layers == CFG.n_layers
+    assert derived.hidden == CFG.hidden
+    assert derived.embed_dim == CFG.embed_dim
+    assert derived.n_heads == CFG.n_heads
+    assert derived.head_dim == CFG.head_dim
+    assert derived.ffn_dim == CFG.ffn_dim
+    assert derived.lookahead == CFG.lookahead
+    # the converted pytree round-trips against the original params
+    from qwen3_tts_tpu.assets import checkpoint
+    like = jax.eval_shape(
+        lambda: vocoder.init_vocoder(jax.random.key(0), derived))
+    got = checkpoint.load_pytree(os.path.join(out, "vocoder.npz"), like)
+    _assert_tree_equal(params, jax.tree.map(np.asarray, got))
 
 
 # --------------------------------------- general upsampler family (DAC shape)

@@ -150,3 +150,17 @@ def test_validator_general_vocoder_release(release_dir, tmp_path, capsys):
     saved = load_vocoder_config(os.path.join(gdir, "gguf",
                                              "vocoder_config.json"))
     assert saved.general_upsampler and saved.activation == "snake"
+
+
+def test_validator_auto_geometry(release_dir, capsys):
+    """--geometry auto (the real-release default): the engine geometry is
+    read from the talker/predictor GGUF metadata, not hand-configured —
+    synthesis must still run end-to-end on the fixture."""
+    rc = validate_release.main(["--model-dir", release_dir,
+                               "--geometry", "auto", "--steps", "4",
+                               "--quant-gate", "0"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0, report
+    assert report["checks"]["talker_gguf"]["status"] == "pass"
+    assert "hidden=64" in report["checks"]["talker_gguf"]["detail"]
+    assert report["checks"]["synthesis"]["status"] == "pass", report["checks"]

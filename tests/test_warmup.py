@@ -48,3 +48,32 @@ def test_serving_warmup_covers_batch_step():
     srv.run_until_drained(max_ticks=20)
     assert srv.streams[sid].done
     assert step_fn._cache_size() == n, "first serving tick recompiled step"
+
+
+def test_warmup_covers_offline_path():
+    """The offline fused program compiled by warmup must be byte-for-byte
+    the signature _run_inference dispatches (same bucketed extent + dynamic
+    step_cap): a first real request after warmup adds NO jit cache entry.
+    (Regression lock: warmup used to compile the pre-bucketing signature
+    and the first request recompiled anyway.)"""
+    from qwen3_tts_tpu.tts import generate
+
+    eng = TtsEngine(config=tiny_engine_config(max_steps=8),
+                    random_weights=True, seed=4)
+    eng.set_sampler_config(
+        dataclasses.replace(eng.sampler_config, temperature=0.0, seed=0))
+    eng.warmup(prompt_buckets=(64,), batch_sizes=(1,))
+    n = generate.generate_audio._cache_size()
+    assert n >= 1, "warmup compiled nothing for the offline path"
+
+    audio = eng.generate_with_voice("hello there", _voice())
+    assert len(audio.samples) > 0
+    assert generate.generate_audio._cache_size() == n, \
+        "first offline request recompiled after warmup"
+
+    # a different max_steps within the same bucket must also reuse it
+    eng.set_max_steps(5)
+    audio2 = eng.generate_with_voice("again", _voice())
+    assert len(audio2.samples) >= 0
+    assert generate.generate_audio._cache_size() == n, \
+        "step-cap bucketing failed: distinct max_steps recompiled"

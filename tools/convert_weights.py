@@ -851,12 +851,17 @@ def validate_vocoder_onnx(model, cfg=None) -> Dict[str, str]:
 
 
 def derive_vocoder_config(model, base_cfg=None):
-    """Infer the upsampler family from the graph itself: ConvTranspose
-    strides/kernels/pads/channels, residual-unit kernel + dilations, final
-    output conv, snake activation. Returns `base_cfg` unchanged (modulo
-    strides/activation) for kernel==stride sequential graphs, a general-
-    family VocoderConfig otherwise. The trunk (pre/transformer/post) is
-    validated separately by validate_vocoder_onnx."""
+    """Infer the vocoder architecture from the graph itself.
+
+    Trunk geometry comes from the carried-state I/O signature (the same
+    evidence SURVEY derived the architecture from): n_layers = number of
+    past_key_* inputs, heads/head_dim from past_key_0's dims, embed_dim/
+    hidden from pre_conv_history/conv_history channels, conv kernels (and
+    hence lookahead) from the trunk Conv weights, ffn from the stack's
+    MatMul shapes. The upsampler family (ConvTranspose strides/kernels/
+    pads/channels, residual-unit kernel + dilations, final conv, snake)
+    comes from the node walk. `base_cfg` supplies only what the graph
+    cannot know (max_frames, rms_eps, dtype)."""
     import dataclasses
     from qwen3_tts_tpu.core.config import VocoderConfig
 
@@ -875,11 +880,70 @@ def derive_vocoder_config(model, base_cfg=None):
                 f"{_producer_chain(model, node.inputs[1], prod)}")
         return shp
 
+    # --- trunk geometry from the carried-state signature ---
+    ins = {n: dims for n, _, dims in model.inputs}
+
+    def in_dim(name, i):
+        d = ins.get(name)
+        return d[i] if d and i < len(d) and d[i] else None
+
+    upd: Dict[str, Any] = {}
+    n_kv = sum(1 for n in ins if n.startswith("past_key_"))
+    if n_kv:
+        upd["n_layers"] = n_kv
+    for field, src, i in (("n_heads", "past_key_0", 1),
+                          ("head_dim", "past_key_0", 3),
+                          ("embed_dim", "pre_conv_history", 1),
+                          ("hidden", "conv_history", 1)):
+        v = in_dim(src, i)
+        if v:
+            upd[field] = int(v)
+    if upd:
+        cfg = dataclasses.replace(cfg, **upd)
+
+    # ffn from the stack linears: [hidden, X] constants where X is neither
+    # the qkv width nor hidden itself
+    nhd = cfg.n_heads * cfg.head_dim
+    ffn_cands = set()
+    for node in model.nodes:
+        if node.op_type in ("MatMul", "Gemm") and len(node.inputs) > 1:
+            mv = _const_eval(model, node.inputs[1], prod, cache)
+            if mv is None or mv.ndim != 2:
+                continue
+            m = (mv if node.op_type == "Gemm" and node.attrs.get("transB")
+                 else mv.T)                      # torch [out, in]
+            if m.shape[1] == cfg.hidden and m.shape[0] not in (nhd,
+                                                               cfg.hidden):
+                ffn_cands.add(int(m.shape[0]))
+    if len(ffn_cands) == 1:
+        cfg = dataclasses.replace(cfg, ffn_dim=ffn_cands.pop())
+
     strides = [int(n.attrs.get("strides", [1])[0]) for n in tconvs]
     kernels = [int(wshape(n)[-1]) for n in tconvs]
     runits = _residual_units(model, prod)
     sins = any(n.op_type == "Sin" for n in model.nodes)
     act = "snake" if sins else "gelu"
+
+    # trunk conv kernels: pre (Cin == embed_dim), then centered post1
+    # (-> lookahead) and causal post2, in graph order; residual-unit and
+    # 1-channel output convs are not trunk
+    res_ids = {id(c) for u in runits for c in u["convs"]}
+    trunk_convs = []
+    for n in model.nodes:
+        if n.op_type != "Conv" or id(n) in res_ids:
+            continue
+        shp = wshape(n)
+        if shp[0] == 1:
+            continue
+        trunk_convs.append((n, shp))
+    pre = [s for _, s in trunk_convs if s[1] == cfg.embed_dim]
+    post = [s for _, s in trunk_convs if s[1] != cfg.embed_dim]
+    if len(pre) == 1 and len(post) == 2:
+        cfg = dataclasses.replace(
+            cfg, pre_conv_kernel=int(pre[0][-1]),
+            lookahead=(int(post[0][-1]) - 1) // 2,
+            post_conv_kernel=int(post[1][-1]))
+
     general = bool(runits) or any(
         k != s for k, s in zip(kernels, strides))
     if not general:
