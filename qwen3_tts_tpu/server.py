@@ -7,6 +7,8 @@ streams and block on their results (or stream chunks as they are vocoded).
 
 Endpoints:
   GET  /health            -> {"status": "ok", "active_streams": N}
+  GET  /stats             -> serving counters (streams served, frames,
+                             audio seconds, uptime, config)
   GET  /speakers          -> {"speakers": [names...]}
   POST /tts               -> audio/wav
        body: {"text": "...", "speaker": "vivian", "instruct": null,
@@ -63,6 +65,10 @@ class TtsServer:
         self.engine = engine
         self.serving = ServingEngine(engine, max_streams=max_streams,
                                      kv_window=kv_window)
+        self._started = time.monotonic()
+        self._streams_served = 0
+        self._frames_served = 0
+        self._counted: set = set()
         self.admit_timeout = admit_timeout
         self._lock = threading.Lock()      # device access is single-threaded
         self._cond = threading.Condition()  # progress: tick / submit / done
@@ -74,6 +80,13 @@ class TtsServer:
         while not self._stop:
             with self._lock:
                 active = self.serving.step()
+                # serving counters (observability: GET /stats)
+                for sid, st in self.serving.streams.items():
+                    if st.done and sid not in self._counted:
+                        self._counted.add(sid)
+                        if st.error is None:
+                            self._streams_served += 1
+                            self._frames_served += st.frames
             with self._cond:
                 self._cond.notify_all()    # streams advanced / completed
                 if active == 0 and not self._stop:
@@ -145,6 +158,20 @@ def make_handler(server: TtsServer):
                 self._json(200, {
                     "status": "ok",
                     "active_streams": server.serving.slots.active(),
+                })
+            elif self.path == "/stats":
+                from .core import protocol as P
+                frames = server._frames_served
+                self._json(200, {
+                    "active_streams": server.serving.slots.active(),
+                    "max_streams": server.serving.B,
+                    "kv_window": server.serving.kv_window,
+                    "streams_served": server._streams_served,
+                    "frames_served": frames,
+                    "audio_seconds_served": round(
+                        frames * P.FRAME_SAMPLES / P.SAMPLE_RATE, 2),
+                    "uptime_s": round(
+                        time.monotonic() - server._started, 1),
                 })
             elif self.path == "/speakers":
                 self._json(200, {

@@ -120,3 +120,46 @@ def test_admission_timeout_no_spin(tmp_path):
     with pytest.raises(TimeoutError):
         srv.submit("rejected", voice)
     assert __import__("time").monotonic() - t0 < 5.0
+
+
+def test_stats_endpoint(server_fixture_or_none=None):
+    """GET /stats: serving counters advance as streams complete."""
+    import json as _json
+    import urllib.request
+
+    from qwen3_tts_tpu import SamplerConfig, TtsEngine, tiny_engine_config
+    from qwen3_tts_tpu.server import TtsServer, make_handler
+    from http.server import ThreadingHTTPServer
+    import threading
+
+    eng = TtsEngine(config=tiny_engine_config(max_steps=6),
+                    random_weights=True, seed=2)
+    eng.set_sampler_config(SamplerConfig(temperature=0.0, top_k=0,
+                                         top_p=1.0, seed=1))
+    srv = TtsServer(eng, max_streams=2)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def stats():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+                return _json.loads(r.read())
+
+        s0 = stats()
+        assert s0["streams_served"] == 0
+        assert s0["max_streams"] == 2
+        assert s0["uptime_s"] >= 0
+
+        from qwen3_tts_tpu.utils.voice_file import VoiceFile
+        sid = srv.submit("stats probe",
+                         VoiceFile(speaker_embedding=[0.0] * 64))
+        srv.wait(sid, timeout=120)
+        s1 = stats()
+        assert s1["streams_served"] == 1
+        assert s1["frames_served"] > 0
+        assert s1["audio_seconds_served"] > 0
+    finally:
+        httpd.shutdown()
+        srv.shutdown()
