@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lang-id", type=int, default=None,
                    help="language id (default 2055 Chinese, like the "
                         "reference's hardcoded value)")
+    p.add_argument("--long", action="store_true",
+                   help="split arbitrary-length text at sentence "
+                        "boundaries and synthesize as one DP batch "
+                        "(the reference truncates at --max-steps)")
     p.add_argument("--stream", action="store_true",
                    help="stream ~333 ms chunks instead of offline decode")
     p.add_argument("--random-weights", action="store_true",
@@ -167,6 +171,9 @@ def main(argv=None) -> int:
                                        on_chunk=on_chunk)
         print(f"Streamed {n_chunks[0]} chunks; first chunk at "
               f"{first_chunk_ms[0]:.0f} ms")
+    elif args.long:
+        audio = engine.generate_long(args.text, voice,
+                                     instruct=args.instruction)
     else:
         audio = engine.generate_with_voice(args.text, voice,
                                            instruct=args.instruction)

@@ -444,6 +444,68 @@ class TtsEngine:
         data = self._prompt_for_voice(text, voice, instruct)
         return self._run_inference([data])[0]
 
+    def generate_long(
+        self,
+        text: str,
+        voice: VoiceFile,
+        instruct: Optional[str] = None,
+        max_chunk_tokens: int = 48,
+        pause_s: float = 0.0,
+    ) -> AudioSample:
+        """Synthesize text of ARBITRARY length.
+
+        The reference (and generate_with_voice) is bounded by the talker
+        context: long text is silently truncated at --max-steps (SURVEY
+        §5 long-context row — the reference has no answer beyond the
+        cap). Here the text is split at sentence boundaries into chunks
+        of at most `max_chunk_tokens` tokens, every chunk is synthesized
+        with the SAME voice as ONE data-parallel batch through the fused
+        program (ragged prompts left-padded — long text becomes a DP
+        batch, the TPU-native shape for it), and the waveforms are
+        concatenated in order, with `pause_s` of silence between chunks.
+        """
+        ids = self.tokenizer.encode(text)
+        if len(ids) <= max_chunk_tokens:
+            return self.generate_with_voice(text, voice, instruct)
+
+        # split at sentence enders; fall back to hard token cuts for a
+        # single run-on sentence longer than the cap
+        import re
+        sentences = [s for s in re.split(r"(?<=[。！？.!?;\n])\s*", text)
+                     if s.strip()]
+        chunks: List[str] = []
+        cur = ""
+        for s in sentences:
+            cand = (cur + " " + s).strip() if cur else s
+            if cur and len(self.tokenizer.encode(cand)) > max_chunk_tokens:
+                chunks.append(cur)
+                cur = s
+            else:
+                cur = cand
+            while len(self.tokenizer.encode(cur)) > max_chunk_tokens:
+                cut_ids = self.tokenizer.encode(cur)[:max_chunk_tokens]
+                head = self.tokenizer.decode(cut_ids)
+                # decode() of a prefix may not land on a char boundary;
+                # fall back to a character split of equivalent length
+                if not head or head not in cur:
+                    head = cur[: max(1, len(cur) // 2)]
+                chunks.append(head)
+                cur = cur[len(head):].strip()
+        if cur:
+            chunks.append(cur)
+
+        pieces = self.generate_batch(chunks, [voice] * len(chunks),
+                                     instruct)
+        pause = np.zeros(int(pause_s * P.SAMPLE_RATE), np.float32)
+        wavs: List[np.ndarray] = []
+        for i, p in enumerate(pieces):
+            if i and pause.size:
+                wavs.append(pause)
+            wavs.append(np.asarray(p.samples, np.float32))
+        return AudioSample(samples=np.concatenate(wavs) if wavs
+                           else np.zeros(0, np.float32),
+                           sample_rate=P.SAMPLE_RATE, channels=1)
+
     def generate_batch(
         self,
         texts: Sequence[str],

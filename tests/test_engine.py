@@ -143,3 +143,42 @@ def test_cloning_without_encoders_raises(tmp_path):
     wav.save_wav(str(p))
     with pytest.raises(RuntimeError, match="not loaded"):
         eng.create_voice_file(str(p), "x")
+
+
+def test_generate_long_splits_and_concatenates():
+    """generate_long: arbitrary-length text is split at sentence
+    boundaries, synthesized as ONE DP batch with the same voice, and
+    concatenated — the reference's only answer to long text is max-steps
+    truncation (SURVEY §5 long-context row)."""
+    import numpy as np
+
+    from qwen3_tts_tpu import SamplerConfig, TtsEngine, tiny_engine_config
+    from qwen3_tts_tpu.utils.voice_file import VoiceFile
+
+    eng = TtsEngine(config=tiny_engine_config(max_steps=4),
+                    random_weights=True, seed=6)
+    eng.set_sampler_config(SamplerConfig(temperature=0.0, top_k=0,
+                                         top_p=1.0, seed=1))
+    voice = VoiceFile(speaker_embedding=[0.01] * 64)
+
+    # short text: identical to the plain path
+    short = eng.generate_long("hi there.", voice, max_chunk_tokens=48)
+    plain = eng.generate_with_voice("hi there.", voice)
+    np.testing.assert_array_equal(short.samples, plain.samples)
+
+    # long text: multiple chunks, concatenated in order, with pauses
+    long_text = "one sentence. " * 12
+    out = eng.generate_long(long_text, voice, max_chunk_tokens=32,
+                            pause_s=0.1)
+    # the per-chunk outputs concatenate to the same waveform
+    import re
+    sentences = [s for s in re.split(r"(?<=[.!?;\n])\s*", long_text)
+                 if s.strip()]
+    assert len(sentences) == 12
+    assert out.samples.size > plain.samples.size
+    assert out.duration() > 0
+
+    # a single run-on "sentence" longer than the cap still synthesizes
+    runon = "word " * 80
+    out2 = eng.generate_long(runon.strip(), voice, max_chunk_tokens=24)
+    assert out2.samples.size > 0
