@@ -7,10 +7,12 @@ The reference is strictly one-utterance-per-process; this surface is new
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "..")
+# runnable from any cwd: the repo root is this file's parent directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

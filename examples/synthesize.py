@@ -7,9 +7,11 @@ With converted checkpoints in ./models this runs the full-size model; pass
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, "..")
+# runnable from any cwd: the repo root is this file's parent directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qwen3_tts_tpu import SamplerConfig, TtsEngine, tiny_engine_config
 
