@@ -100,6 +100,12 @@ def frame_codes_jacobi(
     codes (speech codecs are temporally continuous); acceptance — and
     hence the speedup — is a property of real weights, so the loop keeps
     the AR/fused path by default (QWEN3_TTS_PRED_JACOBI=1 opts in).
+
+    Technique family: Jacobi / parallel decoding of AR chains, as applied
+    to codec-token speech synthesis in the retrieved literature
+    (PAPERS.md: Llasa+ "free lunch" acceleration, speculative AR speech
+    synthesis, FlashTTS MTP) — re-derived here for the 16-codebook
+    predictor protocol with exact-greedy verification.
     """
     B = code_0.shape[0]
     NB = protocol.NUM_CODEBOOKS
